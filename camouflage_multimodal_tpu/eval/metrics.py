@@ -1,0 +1,188 @@
+"""On-device segmentation metrics as vectorized JAX reductions.
+
+Semantics match the reference metric suite exactly (IoU / Dice / P / R / F1 /
+MAE / pixel accuracy — ``/root/reference/utils/metrics.py:9-92`` and the
+inline copy at ``/root/reference/models/region_graph/test.py:274-300``), with
+the same eps constants, plus the COD-standard S-measure and E-measure that
+the driver's north star asks for (not present in the reference).
+
+All functions take prediction/GT maps with values in [0, 1]; leading batch
+axes are supported via vmap-friendly shapes: inputs are (..., H, W) and every
+metric reduces over the trailing two axes, so `batch_evaluate` is one fused
+jit over the whole eval split — no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def _binarize(x: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    return (x > threshold).astype(jnp.float32)
+
+
+def iou(pred: jnp.ndarray, gt: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Intersection over Union (reference utils/metrics.py:9-18)."""
+    p, g = _binarize(pred, threshold), _binarize(gt, threshold)
+    inter = jnp.sum(p * g, axis=(-2, -1))
+    union = jnp.sum(p, axis=(-2, -1)) + jnp.sum(g, axis=(-2, -1)) - inter
+    return inter / (union + _EPS)
+
+
+def dice(pred: jnp.ndarray, gt: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Dice coefficient (reference utils/metrics.py:20-28)."""
+    p, g = _binarize(pred, threshold), _binarize(gt, threshold)
+    inter = jnp.sum(p * g, axis=(-2, -1))
+    return (2.0 * inter) / (jnp.sum(p, axis=(-2, -1)) + jnp.sum(g, axis=(-2, -1)) + _EPS)
+
+
+def precision_recall_f1(pred, gt, threshold: float = 0.5):
+    """Precision / Recall / F1 (reference utils/metrics.py:30-43)."""
+    p, g = _binarize(pred, threshold), _binarize(gt, threshold)
+    tp = jnp.sum(p * g, axis=(-2, -1))
+    fp = jnp.sum(p * (1.0 - g), axis=(-2, -1))
+    fn = jnp.sum((1.0 - p) * g, axis=(-2, -1))
+    precision = tp / (tp + fp + _EPS)
+    recall = tp / (tp + fn + _EPS)
+    f1 = 2.0 * precision * recall / (precision + recall + _EPS)
+    return precision, recall, f1
+
+
+def mae(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Mean absolute error (reference utils/metrics.py:45-48)."""
+    return jnp.mean(jnp.abs(pred - gt), axis=(-2, -1))
+
+
+def pixel_accuracy(pred: jnp.ndarray, gt: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Pixel accuracy on binarized maps (reference utils/metrics.py:50-55,
+    called with pre-thresholded int maps at :63-64)."""
+    p, g = _binarize(pred, threshold), _binarize(gt, threshold)
+    return jnp.mean((p == g).astype(jnp.float32), axis=(-2, -1))
+
+
+# ---------------------------------------------------------------------------
+# S-measure (Fan et al., ICCV'17) — structure similarity for SOD/COD eval.
+# Not in the reference; requested by the driver north star as an on-device
+# reduction.
+# ---------------------------------------------------------------------------
+
+def _ssim_region(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """SSIM-style region score between two (H, W) maps."""
+    n = pred.shape[-2] * pred.shape[-1]
+    mx = jnp.mean(pred, axis=(-2, -1), keepdims=True)
+    my = jnp.mean(gt, axis=(-2, -1), keepdims=True)
+    sx = jnp.sum((pred - mx) ** 2, axis=(-2, -1)) / (n - 1 + _EPS)
+    sy = jnp.sum((gt - my) ** 2, axis=(-2, -1)) / (n - 1 + _EPS)
+    sxy = jnp.sum((pred - mx) * (gt - my), axis=(-2, -1)) / (n - 1 + _EPS)
+    mx, my = mx[..., 0, 0], my[..., 0, 0]
+    alpha = 4.0 * mx * my * sxy
+    beta = (mx**2 + my**2) * (sx + sy)
+    score = jnp.where(alpha != 0, alpha / (beta + _EPS), jnp.where(beta == 0, 1.0, 0.0))
+    return score
+
+
+def _s_object(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Object-aware structural similarity."""
+    def obj(score_map, mask):
+        w = jnp.sum(mask, axis=(-2, -1))
+        mean = jnp.sum(score_map * mask, axis=(-2, -1)) / (w + _EPS)
+        var = jnp.sum(((score_map - mean[..., None, None]) * mask) ** 2, axis=(-2, -1)) / (w + _EPS)
+        std = jnp.sqrt(var)
+        return 2.0 * mean / (mean**2 + 1.0 + std + _EPS)
+
+    fg = obj(pred, gt)
+    bg = obj(1.0 - pred, 1.0 - gt)
+    u = jnp.mean(gt, axis=(-2, -1))
+    return u * fg + (1.0 - u) * bg
+
+
+def _s_region(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Region-aware structural similarity with a fixed 2x2 center split.
+
+    The original splits at the GT centroid (data-dependent shapes); for a
+    jittable fixed-shape formulation we split at the image center and weight
+    quadrants by GT mass — a standard shape-static approximation whose error
+    is small at 256² (validated in tests against a numpy centroid-split
+    implementation).
+    """
+    H, W = pred.shape[-2], pred.shape[-1]
+    h, w = H // 2, W // 2
+    quads_p = [pred[..., :h, :w], pred[..., :h, w:], pred[..., h:, :w], pred[..., h:, w:]]
+    quads_g = [gt[..., :h, :w], gt[..., :h, w:], gt[..., h:, :w], gt[..., h:, w:]]
+    total = jnp.sum(gt, axis=(-2, -1)) + _EPS
+    score = 0.0
+    for qp, qg in zip(quads_p, quads_g):
+        wq = jnp.sum(qg, axis=(-2, -1)) / total
+        score = score + wq * _ssim_region(qp, qg)
+    return score
+
+
+def s_measure(pred: jnp.ndarray, gt: jnp.ndarray, alpha: float = 0.5) -> jnp.ndarray:
+    """Structure measure S = alpha*S_object + (1-alpha)*S_region."""
+    gt_b = (gt > 0.5).astype(jnp.float32)
+    y = jnp.mean(gt_b, axis=(-2, -1))
+    s = alpha * _s_object(pred, gt_b) + (1.0 - alpha) * _s_region(pred, gt_b)
+    # Degenerate GT handling (all-background / all-foreground), as in the
+    # original: S = 1 - mean(pred) when GT empty; mean(pred) when GT full.
+    s = jnp.where(y == 0, 1.0 - jnp.mean(pred, axis=(-2, -1)), s)
+    s = jnp.where(y == 1, jnp.mean(pred, axis=(-2, -1)), s)
+    return jnp.clip(s, 0.0, 1.0)
+
+
+def e_measure(pred: jnp.ndarray, gt: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Enhanced-alignment measure (Fan et al., IJCAI'18), adaptive-free
+    single-threshold variant on binarized prediction."""
+    p = _binarize(pred, threshold)
+    g = _binarize(gt, threshold)
+    n = p.shape[-2] * p.shape[-1]
+    mu_p = jnp.mean(p, axis=(-2, -1), keepdims=True)
+    mu_g = jnp.mean(g, axis=(-2, -1), keepdims=True)
+    ap = p - mu_p
+    ag = g - mu_g
+    align = 2.0 * ap * ag / (ap**2 + ag**2 + _EPS)
+    phi = ((align + 1.0) ** 2) / 4.0
+    em = jnp.sum(phi, axis=(-2, -1)) / (n - 1 + _EPS)
+    # Degenerate cases per the original implementation.
+    gt_sum = jnp.sum(g, axis=(-2, -1))
+    pred_sum = jnp.sum(p, axis=(-2, -1))
+    em = jnp.where(gt_sum == 0, 1.0 - pred_sum / n, em)
+    em = jnp.where(gt_sum == n, pred_sum / n, em)
+    return em
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def evaluate_segmentation(pred_mask: jnp.ndarray, gt_mask: jnp.ndarray,
+                          threshold: float = 0.5) -> Dict[str, jnp.ndarray]:
+    """Comprehensive per-image evaluation (reference utils/metrics.py:57-76,
+    keys preserved) plus s_measure / e_measure."""
+    precision, recall, f1 = precision_recall_f1(pred_mask, gt_mask, threshold)
+    return {
+        "iou": iou(pred_mask, gt_mask, threshold),
+        "dice": dice(pred_mask, gt_mask, threshold),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "mae": mae(pred_mask, gt_mask),
+        "accuracy": pixel_accuracy(pred_mask, gt_mask, threshold),
+        "s_measure": s_measure(pred_mask, gt_mask),
+        "e_measure": e_measure(pred_mask, gt_mask, threshold),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def batch_evaluate(pred_masks: jnp.ndarray, gt_masks: jnp.ndarray,
+                   threshold: float = 0.5) -> Dict[str, jnp.ndarray]:
+    """Batched eval with mean and std per metric (reference
+    utils/metrics.py:78-92: `<key>` mean and `<key>_std`), fully on device."""
+    per_image = evaluate_segmentation(pred_masks, gt_masks, threshold)
+    out: Dict[str, jnp.ndarray] = {}
+    for k, v in per_image.items():
+        out[k] = jnp.mean(v)
+        out[f"{k}_std"] = jnp.std(v)
+    return out

@@ -1,0 +1,56 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so the
+multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4).
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def sample_image_paths():
+    """A handful of real COD10K images from the read-only reference mount."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REFERENCE_ROOT, "data/COD10K/images", "*.jpg")))
+    if not paths:
+        pytest.skip("reference COD10K images not available")
+    return paths[:4]
+
+
+@pytest.fixture(scope="session")
+def sample_quadruple():
+    """(image, gt_object, gt_instance, gt_edge) paths for one sample."""
+    img_dir = os.path.join(REFERENCE_ROOT, "data/COD10K/images")
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(img_dir, "*.jpg")))
+    if not paths:
+        pytest.skip("reference COD10K images not available")
+    img = paths[0]
+    base = os.path.splitext(os.path.basename(img))[0]
+    quad = (
+        img,
+        os.path.join(REFERENCE_ROOT, "data/COD10K/gt_object", base + ".png"),
+        os.path.join(REFERENCE_ROOT, "data/COD10K/gt_instance", base + ".png"),
+        os.path.join(REFERENCE_ROOT, "data/COD10K/gt_edge", base + ".png"),
+    )
+    for p in quad:
+        if not os.path.exists(p):
+            pytest.skip(f"missing reference file {p}")
+    return quad

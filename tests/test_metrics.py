@@ -1,0 +1,88 @@
+"""Golden tests for the metric suite against a direct numpy port of the
+reference algorithms (/root/reference/utils/metrics.py:9-92)."""
+
+import numpy as np
+import pytest
+
+from camouflage_multimodal_tpu.utils import (
+    batch_evaluate,
+    calculate_dice,
+    calculate_iou,
+    calculate_mae,
+    calculate_precision_recall_f1,
+    evaluate_segmentation,
+)
+
+
+def _np_reference_metrics(pred, gt, threshold=0.5):
+    """Numpy implementation with the reference's exact formulas."""
+    pred_binary = (pred > threshold).astype(np.float32)
+    gt_binary = (gt > threshold).astype(np.float32)
+    intersection = np.sum(pred_binary * gt_binary)
+    union = np.sum(pred_binary) + np.sum(gt_binary) - intersection
+    iou = intersection / (union + 1e-8)
+    dice = (2 * intersection) / (np.sum(pred_binary) + np.sum(gt_binary) + 1e-8)
+    tp = np.sum(pred_binary * gt_binary)
+    fp = np.sum(pred_binary * (1 - gt_binary))
+    fn = np.sum((1 - pred_binary) * gt_binary)
+    precision = tp / (tp + fp + 1e-8)
+    recall = tp / (tp + fn + 1e-8)
+    f1 = 2 * precision * recall / (precision + recall + 1e-8)
+    mae = np.mean(np.abs(pred - gt))
+    acc = np.mean((pred_binary == gt_binary))
+    return dict(iou=iou, dice=dice, precision=precision, recall=recall, f1=f1,
+                mae=mae, accuracy=acc)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_metrics_match_reference_formulas(seed):
+    rng = np.random.default_rng(seed)
+    pred = rng.random((64, 64)).astype(np.float32)
+    gt = (rng.random((64, 64)) > 0.7).astype(np.float32)
+
+    ref = _np_reference_metrics(pred, gt)
+    got = evaluate_segmentation(pred, gt)
+
+    for k, v in ref.items():
+        assert got[k] == pytest.approx(v, rel=1e-5, abs=1e-6), k
+
+    assert calculate_iou(pred, gt) == pytest.approx(ref["iou"], rel=1e-5)
+    assert calculate_dice(pred, gt) == pytest.approx(ref["dice"], rel=1e-5)
+    p, r, f1 = calculate_precision_recall_f1(pred, gt)
+    assert (p, r, f1) == pytest.approx((ref["precision"], ref["recall"], ref["f1"]), rel=1e-5)
+    assert calculate_mae(pred, gt) == pytest.approx(ref["mae"], rel=1e-5)
+
+
+def test_batch_evaluate_mean_std():
+    rng = np.random.default_rng(3)
+    preds = [rng.random((32, 32)).astype(np.float32) for _ in range(5)]
+    gts = [(rng.random((32, 32)) > 0.6).astype(np.float32) for _ in range(5)]
+    per = [_np_reference_metrics(p, g) for p, g in zip(preds, gts)]
+    got = batch_evaluate(preds, gts)
+    for k in ("iou", "dice", "f1", "mae"):
+        vals = np.array([m[k] for m in per])
+        assert got[k] == pytest.approx(vals.mean(), rel=1e-4, abs=1e-6)
+        assert got[f"{k}_std"] == pytest.approx(vals.std(), rel=1e-4, abs=1e-6)
+
+
+def test_perfect_and_empty_predictions():
+    gt = np.zeros((16, 16), dtype=np.float32)
+    gt[4:12, 4:12] = 1.0
+    m = evaluate_segmentation(gt, gt)
+    assert m["iou"] == pytest.approx(1.0, abs=1e-6)
+    assert m["dice"] == pytest.approx(1.0, abs=1e-6)
+    assert m["mae"] == pytest.approx(0.0, abs=1e-6)
+    assert m["s_measure"] > 0.9
+    assert m["e_measure"] > 0.9
+
+    empty = np.zeros_like(gt)
+    m2 = evaluate_segmentation(empty, gt)
+    assert m2["iou"] == pytest.approx(0.0, abs=1e-6)
+    assert m2["s_measure"] < 0.6
+
+
+def test_s_measure_degenerate_gt():
+    pred = np.full((16, 16), 0.2, dtype=np.float32)
+    gt_empty = np.zeros((16, 16), dtype=np.float32)
+    m = evaluate_segmentation(pred, gt_empty)
+    assert m["s_measure"] == pytest.approx(0.8, abs=1e-5)
