@@ -1,0 +1,210 @@
+"""Per-superpixel feature extraction as one pass of segment reductions.
+
+TPU-native replacement for the reference's per-region Python hot loop
+(``/root/reference/models/region_graph/train.py:112-179``,
+~O(regions · H·W) with two scipy dilations per region — the measured
+2.2 s/image bottleneck).  Here every region statistic is a scatter-add
+(`segment_sum`) or a dedup'd neighbor-label scatter, all fixed-shape and
+fused by XLA; the whole 15-feature extraction is O(H·W) work.
+
+Exact semantics preserved (verified by golden tests vs a direct numpy port
+of the reference loop):
+
+* mean/std of RGB and gray (population std, like numpy ``.std()``),
+* center_x/center_y normalized by W/H (the reference hardcodes 256),
+* region_size = |region| / (H·W),
+* perimeter  = |dilate₁(region) \\ region| with the 4-connected cross
+  (scipy default structuring element),
+* compactness = perimeter² / (4π·area + 1e-10),
+* boundary contrast = ‖mean_color(region) − mean_color(dilate₂ \\ region)‖,
+* edge density = mean of the Canny map over the region,
+* local variance = population variance of gray (so feature 7 = sqrt(f14)).
+
+Feature vector layout (index → meaning) — note the reference's "edge_diff"
+in the RAG weight actually reads index 12 which is *boundary contrast*, not
+edge density (train.py:201 vs the feature concat at :153-164); we preserve
+that behavior.
+
+  0-2 mean RGB | 3-5 std RGB | 6 texture_mean | 7 texture_std
+  8 center_x | 9 center_y | 10 region_size | 11 compactness
+  12 contrast | 13 edge_density | 14 local_variance
+
+Perimeter/contrast trick: a pixel p belongs to ``dilateᵣ(region R) \\ R``
+iff some label within city-block distance r of p equals R and seg(p) ≠ R.
+So instead of materializing a (K, H, W) one-hot stack, each pixel scatters
+one unit (or its color) to every *distinct* neighbor label in its radius-r
+diamond — dedup over ≤4 (r=1) or ≤12 (r=2) gathered labels is a handful of
+vectorized comparisons.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# City-block offsets at distance exactly 1..r for the cross-structuring
+# element dilation. r=1: 4 offsets; r=2: 12 offsets.
+_DIAMOND_1 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+_DIAMOND_2 = _DIAMOND_1 + [(-2, 0), (2, 0), (0, -2), (0, 2), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+
+
+def _gather_neighbor_labels(seg: jnp.ndarray, offsets) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each pixel, labels at the given offsets. Returns (labels, valid)
+    of shape (H, W, n_off); out-of-image neighbors are invalid."""
+    H, W = seg.shape
+    labs = []
+    valids = []
+    for dy, dx in offsets:
+        lab = jnp.roll(seg, (-dy, -dx), axis=(0, 1))  # value at (y+dy, x+dx)
+        ok = jnp.ones((H, W), dtype=bool)
+        if dy > 0:
+            ok = ok.at[H - dy:, :].set(False)
+        elif dy < 0:
+            ok = ok.at[: -dy, :].set(False)
+        if dx > 0:
+            ok = ok.at[:, W - dx:].set(False)
+        elif dx < 0:
+            ok = ok.at[:, : -dx].set(False)
+        labs.append(lab)
+        valids.append(ok)
+    return jnp.stack(labs, axis=-1), jnp.stack(valids, axis=-1)
+
+
+def _distinct_foreign_neighbors(seg: jnp.ndarray, offsets):
+    """(labels, weight) where weight[p, i] = 1 iff offsets[i]'s label is
+    valid, differs from seg[p], and is the first occurrence among the
+    gathered labels (dedup)."""
+    labs, valid = _gather_neighbor_labels(seg, offsets)
+    n = labs.shape[-1]
+    keep = valid & (labs != seg[..., None])
+    for i in range(1, n):
+        dup = jnp.zeros(seg.shape, dtype=bool)
+        for j in range(i):
+            dup = dup | (keep[..., j] & (labs[..., j] == labs[..., i]))
+        keep = keep.at[..., i].set(keep[..., i] & ~dup)
+    return labs, keep
+
+
+def _scatter_sum(values: jnp.ndarray, labels: jnp.ndarray, weight: jnp.ndarray,
+                 num_segments: int) -> jnp.ndarray:
+    """segment_sum of weighted values: values (P, C), labels/weight (P,)."""
+    return jax.ops.segment_sum(values * weight[:, None], labels, num_segments=num_segments)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarray,
+                    num_segments: int) -> Dict[str, jnp.ndarray]:
+    """Compute the 15-dim node features for every segment.
+
+    Args:
+      image: (H, W, 3) float RGB in [0, 1] (the denormalized image the
+        reference feeds its feature loop).
+      segments: (H, W) int32 labels in [0, num_segments).
+      edges: (H, W) Canny edge map (bool or float).
+      num_segments: static K (padded node bucket).
+
+    Returns dict with:
+      features: (K, 15) float32
+      node_mask: (K,) bool — True where the segment has ≥1 pixel
+      count: (K,) float32 pixel counts
+    """
+    H, W, _ = image.shape
+    K = num_segments
+    seg_flat = segments.reshape(-1)
+    img_flat = image.reshape(-1, 3).astype(jnp.float32)
+    gray = image.astype(jnp.float32) @ jnp.asarray([0.2989, 0.5870, 0.1140], jnp.float32)
+    gray_flat = gray.reshape(-1)
+    edge_flat = edges.reshape(-1).astype(jnp.float32)
+
+    yy = (jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)).reshape(-1)
+    xx = (jnp.ones((H, 1), jnp.float32) * jnp.arange(W, dtype=jnp.float32)[None, :]).reshape(-1)
+
+    # First-order and second-order moments in a single segment_sum.
+    vals = jnp.concatenate(
+        [
+            img_flat,                     # 0:3   sum rgb
+            img_flat**2,                  # 3:6   sum rgb²
+            gray_flat[:, None],           # 6     sum gray
+            (gray_flat**2)[:, None],      # 7     sum gray²
+            yy[:, None],                  # 8     sum y
+            xx[:, None],                  # 9     sum x
+            edge_flat[:, None],           # 10    sum edge
+            jnp.ones((H * W, 1), jnp.float32),  # 11 count
+        ],
+        axis=-1,
+    )
+    m = jax.ops.segment_sum(vals, seg_flat, num_segments=K)
+    count = m[:, 11]
+    node_mask = count > 0
+    safe = jnp.maximum(count, 1.0)[:, None]
+
+    mean_rgb = m[:, 0:3] / safe
+    var_rgb = jnp.maximum(m[:, 3:6] / safe - mean_rgb**2, 0.0)
+    std_rgb = jnp.sqrt(var_rgb)
+    mean_gray = m[:, 6:7] / safe
+    var_gray = jnp.maximum(m[:, 7:8] / safe - mean_gray**2, 0.0)
+    std_gray = jnp.sqrt(var_gray)
+    center_y = (m[:, 8:9] / safe) / H
+    center_x = (m[:, 9:10] / safe) / W
+    region_size = count[:, None] / (H * W)
+    edge_density = m[:, 10:11] / safe
+
+    # Perimeter: pixels adjacent (4-conn) to the region but outside it.
+    labs1, keep1 = _distinct_foreign_neighbors(segments, _DIAMOND_1)
+    peri = jax.ops.segment_sum(
+        keep1.reshape(-1).astype(jnp.float32),
+        labs1.reshape(-1),
+        num_segments=K,
+    )[:, None]
+    compactness = peri**2 / (4.0 * math.pi * count[:, None] + 1e-10)
+
+    # Boundary contrast: mean color of dilate₂(R) \ R vs mean color of R.
+    labs2, keep2 = _distinct_foreign_neighbors(segments, _DIAMOND_2)
+    n_off = labs2.shape[-1]
+    flat_labs2 = labs2.reshape(-1)
+    flat_keep2 = keep2.reshape(-1).astype(jnp.float32)
+    rep_img = jnp.repeat(img_flat[:, None, :], n_off, axis=1).reshape(-1, 3)
+    nb_sum = _scatter_sum(rep_img, flat_labs2, flat_keep2, K)
+    nb_cnt = jax.ops.segment_sum(flat_keep2, flat_labs2, num_segments=K)
+    nb_mean = nb_sum / jnp.maximum(nb_cnt, 1.0)[:, None]
+    has_nb = (nb_cnt > 0)[:, None]
+    contrast = jnp.where(
+        has_nb,
+        jnp.sqrt(jnp.sum((mean_rgb - nb_mean) ** 2, axis=-1, keepdims=True)),
+        0.0,
+    )
+
+    features = jnp.concatenate(
+        [
+            mean_rgb, std_rgb, mean_gray, std_gray,
+            center_x, center_y, region_size, compactness,
+            contrast, edge_density, var_gray,
+        ],
+        axis=-1,
+    )
+    features = jnp.where(node_mask[:, None], features, 0.0)
+    features = jnp.nan_to_num(features, nan=0.0)
+    return {"features": features, "node_mask": node_mask, "count": count}
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def region_label_means(maps: jnp.ndarray, segments: jnp.ndarray,
+                       num_segments: int) -> jnp.ndarray:
+    """Per-segment mean of one or more (H, W) maps → (K, C).
+
+    Used for GT labels: the reference thresholds per-region means of the
+    object/instance/edge masks at 0.5/0.5/0.3 (train.py:168-176)."""
+    if maps.ndim == 2:
+        maps = maps[..., None]
+    H, W, C = maps.shape
+    seg_flat = segments.reshape(-1)
+    vals = jnp.concatenate(
+        [maps.reshape(-1, C).astype(jnp.float32), jnp.ones((H * W, 1), jnp.float32)],
+        axis=-1,
+    )
+    m = jax.ops.segment_sum(vals, seg_flat, num_segments=num_segments)
+    return m[:, :C] / jnp.maximum(m[:, C:], 1.0)

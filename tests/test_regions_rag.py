@@ -1,0 +1,146 @@
+"""Golden tests: the vectorized segment-feature/RAG ops must reproduce a
+direct numpy port of the reference's per-region loop
+(/root/reference/models/region_graph/train.py:112-208) bit-for-bit within
+float tolerance, using scipy for the dilations exactly as the reference did.
+"""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+import jax.numpy as jnp
+
+from camouflage_multimodal_tpu.ops.rag import rag_edge_weights, region_adjacency
+from camouflage_multimodal_tpu.ops.regions import region_features, region_label_means
+
+
+def _reference_features(image, segments, edges_canny):
+    """Numpy port of the reference loop, kept structurally identical
+    (same order of ops, same eps) for use as a golden."""
+    n_regions = segments.max() + 1
+    feats = {}
+    for region_id in range(n_regions):
+        m = segments == region_id
+        if not m.any():
+            continue
+        region_pixels = image[m]
+        mean_color = region_pixels.mean(axis=0)
+        std_color = region_pixels.std(axis=0)
+        gray = image[..., :3] @ np.array([0.2989, 0.5870, 0.1140])
+        gp = gray[m]
+        texture_mean = gp.mean()
+        texture_std = gp.std()
+        coords = np.argwhere(m)
+        center_y = coords[:, 0].mean() / image.shape[0]
+        center_x = coords[:, 1].mean() / image.shape[1]
+        region_size = len(region_pixels) / (image.shape[0] * image.shape[1])
+        perimeter = np.sum(ndi.binary_dilation(m) ^ m)
+        area = m.sum()
+        compactness = (perimeter**2) / (4 * np.pi * area + 1e-10)
+        edge_density = edges_canny[m].mean()
+        dilated = ndi.binary_dilation(m, iterations=2)
+        nb = dilated & ~m
+        contrast = 0.0
+        if nb.any():
+            contrast = np.linalg.norm(mean_color - image[nb].mean(axis=0))
+        local_variance = np.var(gp)
+        f = np.concatenate([
+            mean_color, std_color, [texture_mean], [texture_std],
+            [center_x, center_y], [region_size], [compactness],
+            [contrast], [edge_density], [local_variance],
+        ])
+        feats[region_id] = np.nan_to_num(f, nan=0.0)
+    return feats
+
+
+def _make_case(rng, H=48, W=48, n_labels=25):
+    """A random Voronoi-ish segmentation and image."""
+    pts = rng.random((n_labels, 2)) * [H, W]
+    yy, xx = np.mgrid[:H, :W]
+    d = (yy[..., None] - pts[:, 0]) ** 2 + (xx[..., None] - pts[:, 1]) ** 2
+    segments = np.argmin(d, axis=-1).astype(np.int32)
+    image = rng.random((H, W, 3)).astype(np.float64)
+    edges = rng.random((H, W)) > 0.8
+    return image, segments, edges
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_region_features_match_reference_loop(seed):
+    rng = np.random.default_rng(seed)
+    image, segments, edges = _make_case(rng)
+    K = 32
+    ref = _reference_features(image, segments, edges)
+
+    out = region_features(
+        jnp.asarray(image, jnp.float32), jnp.asarray(segments), jnp.asarray(edges), K
+    )
+    feats = np.asarray(out["features"])
+    mask = np.asarray(out["node_mask"])
+
+    for rid, f_ref in ref.items():
+        assert mask[rid]
+        np.testing.assert_allclose(feats[rid], f_ref, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"region {rid}")
+    # Regions absent from the reference dict must be masked out.
+    for rid in range(K):
+        if rid not in ref:
+            assert not mask[rid]
+
+
+def test_region_features_with_empty_labels():
+    """Labels with zero pixels (possible after SLIC) are masked, not NaN."""
+    segments = np.zeros((8, 8), dtype=np.int32)
+    segments[4:, :] = 5  # labels 1..4 empty
+    image = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)
+    out = region_features(jnp.asarray(image), jnp.asarray(segments),
+                          jnp.zeros((8, 8)), 8)
+    feats = np.asarray(out["features"])
+    assert np.isfinite(feats).all()
+    assert np.asarray(out["node_mask"]).tolist() == [True, False, False, False, False, True, False, False]
+
+
+def test_region_adjacency_8conn():
+    seg = np.array([
+        [0, 0, 1, 1],
+        [0, 0, 1, 1],
+        [2, 2, 3, 3],
+        [2, 2, 3, 3],
+    ], dtype=np.int32)
+    adj = np.asarray(region_adjacency(jnp.asarray(seg), 5))
+    # 4-neighbors plus the diagonal contacts 0-3 and 1-2 (8-connectivity)
+    expected = {(0, 1), (0, 2), (1, 3), (2, 3), (0, 3), (1, 2)}
+    for i in range(5):
+        for j in range(5):
+            assert adj[i, j] == ((i, j) in expected or (j, i) in expected), (i, j)
+
+
+def test_rag_edge_weights_match_reference_formula(rng):
+    feats = rng.random((10, 15)).astype(np.float32)
+    adj = np.zeros((10, 10), dtype=bool)
+    adj[0, 1] = adj[1, 0] = True
+    adj[2, 5] = adj[5, 2] = True
+    w = np.asarray(rag_edge_weights(jnp.asarray(feats), jnp.asarray(adj)))
+
+    def ref_w(i, j):
+        color_diff = np.linalg.norm(feats[i][:3] - feats[j][:3])
+        texture_diff = abs(feats[i][6] - feats[j][6])
+        edge_diff = abs(feats[i][12] - feats[j][12])
+        return np.exp(-color_diff / 0.15) * np.exp(-texture_diff / 0.08) * np.exp(-edge_diff / 0.1)
+
+    assert w[0, 1] == pytest.approx(ref_w(0, 1), rel=1e-5)
+    assert w[2, 5] == pytest.approx(ref_w(2, 5), rel=1e-5)
+    assert w[0, 1] == pytest.approx(w[1, 0], rel=1e-6)
+    assert w[3, 4] == 0.0
+    assert w[0, 0] == 0.0
+
+
+def test_region_label_means():
+    seg = np.array([[0, 0], [1, 1]], dtype=np.int32)
+    maps = np.stack([
+        np.array([[1.0, 0.0], [0.5, 0.5]]),
+        np.array([[0.0, 0.0], [1.0, 1.0]]),
+    ], axis=-1)
+    got = np.asarray(region_label_means(jnp.asarray(maps), jnp.asarray(seg), 4))
+    np.testing.assert_allclose(got[0], [0.5, 0.0], atol=1e-6)
+    np.testing.assert_allclose(got[1], [0.5, 1.0], atol=1e-6)
+    np.testing.assert_allclose(got[2], [0.0, 0.0], atol=1e-6)
