@@ -1,0 +1,172 @@
+"""End-to-end jitted pipelines.
+
+This is the TPU re-formulation of the reference's three inference call
+stacks (SURVEY.md §3): everything from the decoded uint8/float image to the
+per-pixel camouflage heatmap runs as ONE jitted XLA program per batch —
+SLIC, Canny, segment features, RAG, the region-graph GNN, the multimodal
+fusion and the mask paint-back (``region_graph/test.py:241-244``) — with a
+real batch axis instead of the reference's per-image Python loops.
+
+Shapes are static per (image_size, n_segments) pair: the SLIC grid gives
+``gh·gw`` clusters, padded into a ``max_nodes`` bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from camouflage_multimodal_tpu.models.fusion import MultimodalCamouflageDetector
+from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
+from camouflage_multimodal_tpu.ops.canny import canny
+from camouflage_multimodal_tpu.ops.image import rgb_to_gray
+from camouflage_multimodal_tpu.ops.rag import rag_edge_weights, region_adjacency
+from camouflage_multimodal_tpu.ops.regions import region_features, region_label_means
+from camouflage_multimodal_tpu.ops.slic import grid_shape, slic
+
+
+class RegionGraphBatch(NamedTuple):
+    """Fixed-shape padded region-graph batch."""
+
+    segments: jnp.ndarray      # (B, H, W) int32
+    features: jnp.ndarray      # (B, K, 15) f32
+    adjacency: jnp.ndarray     # (B, K, K) bool
+    edge_weights: jnp.ndarray  # (B, K, K) f32
+    node_mask: jnp.ndarray     # (B, K) bool
+
+
+def padded_nodes(n_segments: int, image_size: int, multiple: int = 128) -> int:
+    """Node bucket: SLIC grid size rounded up to a lane-aligned multiple."""
+    gh, gw = grid_shape(n_segments, image_size, image_size)
+    k = gh * gw
+    return ((k + multiple - 1) // multiple) * multiple
+
+
+@functools.partial(jax.jit, static_argnames=("n_segments", "max_nodes", "slic_iters"))
+def build_region_graphs(images: jnp.ndarray, n_segments: int = 500,
+                        max_nodes: int = 512, slic_iters: int = 10) -> RegionGraphBatch:
+    """images: (B, H, W, 3) float RGB in [0,1] → padded graph batch.
+
+    Replaces ``create_region_graph`` (train.py:89-221) wholesale: one fused
+    program, batched over B.
+    """
+
+    def one(img):
+        seg = slic(img, n_segments=n_segments, num_iters=slic_iters)
+        edges = canny(rgb_to_gray(img), sigma=2.0)
+        reg = region_features(img, seg, edges, max_nodes)
+        adj = region_adjacency(seg, max_nodes)
+        w = rag_edge_weights(reg["features"], adj)
+        return seg, reg["features"], adj, w, reg["node_mask"]
+
+    seg, feats, adj, w, mask = jax.vmap(one)(images)
+    return RegionGraphBatch(seg, feats, adj, w, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("n_segments", "max_nodes", "slic_iters"))
+def build_region_graphs_with_labels(
+    images: jnp.ndarray, masks: jnp.ndarray, instances: jnp.ndarray,
+    edges_gt: jnp.ndarray, n_segments: int = 500, max_nodes: int = 512,
+    slic_iters: int = 10,
+) -> Tuple[RegionGraphBatch, Dict[str, jnp.ndarray]]:
+    """Training variant: also derives per-node GT labels with the reference's
+    thresholds (mask>0.5, instance>0.5, edge>0.3 — train.py:168-176)."""
+    batch = build_region_graphs(images, n_segments, max_nodes, slic_iters)
+
+    def labels_one(seg, m, inst, e):
+        stacked = jnp.stack([m, inst, e], axis=-1)
+        means = region_label_means(stacked, seg, max_nodes)
+        return means
+
+    means = jax.vmap(labels_one)(batch.segments, masks, instances, edges_gt)
+    labels = {
+        "mask_labels": (means[..., 0] > 0.5).astype(jnp.int32),
+        "instance_labels": (means[..., 1] > 0.5).astype(jnp.int32),
+        "edge_labels": (means[..., 2] > 0.3).astype(jnp.float32),
+    }
+    return batch, labels
+
+
+def paint_segments(segment_values: jnp.ndarray, segments: jnp.ndarray) -> jnp.ndarray:
+    """Per-segment values (B, K) → per-pixel map (B, H, W): the mask
+    reconstruction of region_graph/test.py:241-244 as a batched gather."""
+    return jax.vmap(lambda v, s: v[s])(segment_values, segments)
+
+
+class RegionGraphPipeline:
+    """Image → region-graph GNN predictions, one jit.
+
+    Mirrors the API surface of the reference's ``detect_camouflage``
+    (test.py:185-362) and ``extract_embeddings_from_image``
+    (extract_rg_embeddings.py:249-288).
+    """
+
+    def __init__(self, model: RegionGraphGNN, n_segments: int = 500,
+                 image_size: int = 256, max_nodes: Optional[int] = None,
+                 slic_iters: int = 10) -> None:
+        self.model = model
+        self.n_segments = n_segments
+        self.image_size = image_size
+        self.max_nodes = max_nodes or padded_nodes(n_segments, image_size)
+        self.slic_iters = slic_iters
+        self._forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, variables, images):
+        batch = build_region_graphs(images, self.n_segments, self.max_nodes,
+                                    self.slic_iters)
+        out = self.model.apply(variables, batch.features, batch.adjacency,
+                               batch.edge_weights, batch.node_mask)
+        probs = jax.nn.softmax(out["mask_logits"], axis=-1)[..., 1]
+        probs = jnp.where(batch.node_mask, probs, 0.0)
+        heatmap = paint_segments(probs, batch.segments)
+        return {
+            "heatmap": heatmap,                       # (B, H, W) in [0,1]
+            "segments": batch.segments,
+            "node_mask": batch.node_mask,
+            "mask_logits": out["mask_logits"],
+            "instance_logits": out["instance_logits"],
+            "edge_logits": out["edge_logits"],
+            "node_embeddings": out["node_embeddings"],
+            "graph_embedding": out["graph_embedding"],
+        }
+
+    def __call__(self, variables, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return self._forward(variables, images)
+
+
+class MultimodalPipeline:
+    """Image + KG category embeddings → 4-head multimodal predictions.
+
+    The fused equivalent of ``predict_single_image``
+    (test_multimodal.py:83-152): RG extraction re-runs per image, then the
+    padded node embeddings cross-attend to the KG tensor — all one jit,
+    batched.
+    """
+
+    def __init__(self, rg_pipeline: RegionGraphPipeline,
+                 fusion_model: MultimodalCamouflageDetector) -> None:
+        self.rg = rg_pipeline
+        self.fusion_model = fusion_model
+        self._forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, rg_variables, fusion_variables, images, kg_tensor):
+        rg_out = self.rg._forward_impl(rg_variables, images)
+        B = images.shape[0]
+        kg = jnp.broadcast_to(kg_tensor[None], (B,) + kg_tensor.shape)
+        out = self.fusion_model.apply(
+            fusion_variables, rg_out["node_embeddings"], kg,
+            rg_mask=rg_out["node_mask"], return_attention=True,
+        )
+        out["mask_prob"] = jax.nn.softmax(out["mask_logits"], axis=-1)
+        out["instance_prob"] = jax.nn.softmax(out["instance_logits"], axis=-1)
+        out["edge_prob"] = jax.nn.sigmoid(out["edge_logits"])
+        out["segments"] = rg_out["segments"]
+        out["heatmap"] = rg_out["heatmap"]
+        out["node_mask"] = rg_out["node_mask"]
+        return out
+
+    def __call__(self, rg_variables, fusion_variables, images, kg_tensor):
+        return self._forward(rg_variables, fusion_variables, images, kg_tensor)
