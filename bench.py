@@ -1,0 +1,98 @@
+"""Benchmark: end-to-end multimodal inference throughput on one chip.
+
+Measures the FULL per-image pipeline the reference ran on CPU at
+2.216 s/image (/root/reference/models/region_graph/rg_embeddings/
+embedding_summary.json): decode-normalized image → SLIC superpixels → Canny
+→ 15-dim segment features → RAG → RegionGraphGNN → cross-attention fusion →
+4 heads + per-pixel heatmap — here as one jitted XLA program, batched.
+
+Prints ONE JSON line:
+  {"metric": "images/sec/chip multimodal inference 256x256",
+   "value": <imgs/s>, "unit": "images/sec", "vs_baseline": <speedup vs
+   0.4513 img/s reference CPU anchor>, ...extras}
+"""
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 16
+WARMUP = 2
+ITERS = 8
+IMAGE_SIZE = 256
+N_SEGMENTS = 500
+REFERENCE_SECONDS_PER_IMAGE = 2.2161  # reference embedding_summary.json
+
+
+def _load_images(n):
+    """Real COD10K images when the reference mount is present, else noise."""
+    paths = sorted(glob.glob("/root/reference/data/COD10K/images/*.jpg"))[:n]
+    if paths:
+        from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+
+        return np.stack([load_image_rgb(p, IMAGE_SIZE) for p in paths])
+    rng = np.random.default_rng(0)
+    return rng.random((n, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+
+
+def main():
+    from camouflage_multimodal_tpu.models.fusion import MultimodalCamouflageDetector
+    from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
+    from camouflage_multimodal_tpu.pipeline import (
+        MultimodalPipeline,
+        RegionGraphPipeline,
+        padded_nodes,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    rg_model = RegionGraphGNN()
+    fusion_model = MultimodalCamouflageDetector()
+    max_nodes = padded_nodes(N_SEGMENTS, IMAGE_SIZE)
+    rg_pipe = RegionGraphPipeline(rg_model, n_segments=N_SEGMENTS,
+                                  image_size=IMAGE_SIZE, max_nodes=max_nodes)
+    pipe = MultimodalPipeline(rg_pipe, fusion_model)
+
+    K = max_nodes
+    rg_vars = rg_model.init(rng, jnp.zeros((1, K, 15)), jnp.zeros((1, K, K), bool),
+                            jnp.zeros((1, K, K)), jnp.ones((1, K), bool))
+    fusion_vars = fusion_model.init(rng, jnp.zeros((1, K, 128)), jnp.zeros((1, 13, 128)))
+    kg = jax.random.normal(rng, (13, 128))
+
+    images = jnp.asarray(_load_images(BATCH))
+
+    def run():
+        out = pipe(rg_vars, fusion_vars, images, kg)
+        out["heatmap"].block_until_ready()
+        return out
+
+    for _ in range(WARMUP):
+        run()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        run()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    p50_latency_ms = (dt / ITERS) / BATCH * 1000.0
+    baseline_imgs_per_sec = 1.0 / REFERENCE_SECONDS_PER_IMAGE
+
+    print(json.dumps({
+        "metric": "images/sec/chip multimodal inference 256x256 (SLIC+features+RAG+GNN+fusion+heatmap)",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / baseline_imgs_per_sec, 2),
+        "p50_per_image_ms": round(p50_latency_ms, 2),
+        "batch": BATCH,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""High-level public API: load a model, predict a mask from an image path,
+evaluate a dataset directory.
+
+Mirrors the reference's user-facing entry points:
+
+* :func:`detect_camouflage` ↔ ``region_graph/test.py:185-362`` (single-image
+  RG path: heatmap, 4-band classification, optional GT metrics, 6-panel
+  figure + raw mask PNG).
+* :func:`load_multimodal_model` / :func:`predict_single_image` /
+  :func:`test_image_directory` ↔ ``multimodal/test_multimodal.py:30-383``.
+* :func:`evaluate_directory` — batched on-device eval over a dataset split
+  (the BASELINE.json batched-inference config; no reference equivalent, the
+  reference evaluated one image at a time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from camouflage_multimodal_tpu.core.artifacts import load_kg_embeddings
+from camouflage_multimodal_tpu.core.checkpoint import load_checkpoint
+from camouflage_multimodal_tpu.data.cod10k import CODDataset, load_image_rgb, load_mask
+from camouflage_multimodal_tpu.data.matcher import build_ordered_kg_tensor
+from camouflage_multimodal_tpu.eval.metrics import batch_evaluate, evaluate_segmentation
+from camouflage_multimodal_tpu.models.fusion import build_multimodal_model
+from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
+from camouflage_multimodal_tpu.pipeline import MultimodalPipeline, RegionGraphPipeline
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
+
+
+def classification_bands(mean_score: float) -> Tuple[str, str]:
+    """4-level classification (region_graph/test.py:257-268)."""
+    if mean_score > 0.35:
+        return "HIGHLY CAMOUFLAGED", "red"
+    if mean_score > 0.20:
+        return "MODERATELY CAMOUFLAGED", "orange"
+    if mean_score > 0.10:
+        return "SLIGHTLY CAMOUFLAGED", "yellow"
+    return "NOT CAMOUFLAGED", "green"
+
+
+def load_rg_model(checkpoint_path: str) -> Tuple[RegionGraphGNN, Dict[str, Any]]:
+    ckpt = load_checkpoint(checkpoint_path)
+    cfg = ckpt.get("model_config", {})
+    model = RegionGraphGNN(
+        in_channels=cfg.get("in_channels", 15),
+        hidden_channels=cfg.get("hidden_channels", 128),
+        num_classes=cfg.get("num_classes", 2),
+    )
+    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    return model, variables
+
+
+def detect_camouflage(image_path: str, checkpoint_path: str,
+                      output_dir: str = "results",
+                      mask_path: Optional[str] = None,
+                      n_segments: int = 500,
+                      pipeline: Optional[RegionGraphPipeline] = None,
+                      variables: Optional[Dict[str, Any]] = None,
+                      save_figures: bool = True):
+    """Single-image RG detection (heatmap + bands + optional GT metrics)."""
+    if pipeline is None or variables is None:
+        model, variables = load_rg_model(checkpoint_path)
+        pipeline = RegionGraphPipeline(model, n_segments=n_segments)
+
+    image = load_image_rgb(image_path, pipeline.image_size)
+    out = pipeline(variables, jnp.asarray(image[None]))
+    heatmap = np.asarray(out["heatmap"][0])
+    segments = np.asarray(out["segments"][0])
+
+    mean_score = float(heatmap.mean())
+    coverage = float((heatmap > 0.5).sum() / heatmap.size * 100)
+    classification, color = classification_bands(mean_score)
+
+    metrics = None
+    if mask_path and os.path.exists(mask_path):
+        gt = load_mask(mask_path, pipeline.image_size)
+        m = evaluate_segmentation(jnp.asarray(heatmap), jnp.asarray(gt))
+        metrics = {k: float(v) for k, v in m.items()}
+
+    if save_figures:
+        from camouflage_multimodal_tpu.viz import detection_panel
+        from PIL import Image
+
+        os.makedirs(output_dir, exist_ok=True)
+        base = os.path.basename(image_path)
+        detection_panel(image, segments, heatmap, classification, color,
+                        mean_score, coverage,
+                        os.path.join(output_dir, f"detection_{base}"), base)
+        Image.fromarray((heatmap * 255).astype(np.uint8)).save(
+            os.path.join(output_dir, f"mask_{base}"))
+
+    return heatmap, mean_score, classification, metrics
+
+
+def load_multimodal_model(checkpoint_path: str):
+    """Load a fusion checkpoint (config travels inside, like
+    test_multimodal.py:30-55)."""
+    ckpt = load_checkpoint(checkpoint_path)
+    config = ckpt.get("config", {})
+    model = build_multimodal_model(config.get("model", config))
+    return model, {"params": ckpt["params"]}, config
+
+
+class MultimodalPredictor:
+    """Bundles RG pipeline + fusion model + KG tensor for repeated calls."""
+
+    def __init__(self, fusion_checkpoint: str, rg_checkpoint: str,
+                 kg_embeddings_path: str, n_segments: int = 500) -> None:
+        rg_model, self.rg_variables = load_rg_model(rg_checkpoint)
+        self.fusion_model, self.fusion_variables, self.config = load_multimodal_model(
+            fusion_checkpoint)
+        self.rg_pipeline = RegionGraphPipeline(rg_model, n_segments=n_segments)
+        self.pipeline = MultimodalPipeline(self.rg_pipeline, self.fusion_model)
+        kg_raw = load_kg_embeddings(kg_embeddings_path)
+        kg, self.kg_ordered = build_ordered_kg_tensor(kg_raw)
+        self.kg_tensor = jnp.asarray(kg)
+
+    def predict_batch(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        out = self.pipeline(self.rg_variables, self.fusion_variables,
+                            jnp.asarray(images), self.kg_tensor)
+        return jax.device_get(out)
+
+    def predict_single_image(self, image_path: str):
+        """Returns (predictions, attention, kg_ordered) like
+        test_multimodal.predict_single_image (:83-152)."""
+        image = load_image_rgb(image_path, self.rg_pipeline.image_size)
+        out = self.predict_batch(image[None])
+        node_mask = out["node_mask"][0]
+        attn = {
+            # masked mean over valid RG queries for the rg2kg display
+            "rg2kg": out["attention"]["rg2kg"][0][node_mask],
+            "kg2rg": out["attention"]["kg2rg"][0][:, node_mask],
+        }
+        predictions = {
+            "mask_logits": out["mask_logits"][0],
+            "mask_prob": out["mask_prob"][0],
+            "mask_pred": int(np.argmax(out["mask_logits"][0])),
+            "instance_prob": out["instance_prob"][0],
+            "instance_pred": int(np.argmax(out["instance_logits"][0])),
+            "edge_prob": float(out["edge_prob"][0, 0]),
+            "score": float(out["score"][0, 0]),
+            "segments": out["segments"][0],
+            "heatmap": out["heatmap"][0],
+        }
+        return predictions, attn, self.kg_ordered
+
+
+def test_image_directory(predictor: MultimodalPredictor, image_dir: str,
+                         output_dir: str, max_images: Optional[int] = None,
+                         batch_size: int = 8, save_figures: bool = False) -> List[Dict]:
+    """Batch directory testing with per-image fault tolerance and a
+    ``batch_results.json`` artifact (test_multimodal.py:312-383) — but
+    batched on device instead of image-at-a-time."""
+    files = sorted(f for f in os.listdir(image_dir)
+                   if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
+    if max_images:
+        files = files[:max_images]
+    os.makedirs(output_dir, exist_ok=True)
+
+    results: List[Dict] = []
+    camo_count = 0
+    for i in range(0, len(files), batch_size):
+        chunk = files[i: i + batch_size]
+        images, ok_files = [], []
+        for f in chunk:
+            try:
+                images.append(load_image_rgb(os.path.join(image_dir, f),
+                                             predictor.rg_pipeline.image_size))
+                ok_files.append(f)
+            except Exception as e:  # decode fault tolerance
+                print(f"error processing {f}: {e}")
+        if not images:
+            continue
+        batch = np.stack(images)
+        # pad the final partial batch to the jit'd batch size
+        pad = 0
+        if batch.shape[0] < batch_size and i > 0:
+            pad = batch_size - batch.shape[0]
+            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:],
+                                                    batch.dtype)])
+        out = predictor.predict_batch(batch)
+        for j, f in enumerate(ok_files):
+            prob = out["mask_prob"][j]
+            pred_label = int(np.argmax(out["mask_logits"][j]))
+            results.append({
+                "image": f,
+                "prediction": "Camouflaged" if pred_label == 1 else "Not Camouflaged",
+                "pred_label": pred_label,
+                "camo_prob": float(prob[1]),
+                "not_camo_prob": float(prob[0]),
+                "score": float(out["score"][j, 0]),
+            })
+            camo_count += pred_label
+            if save_figures:
+                from camouflage_multimodal_tpu.viz import multimodal_panel
+
+                node_mask = out["node_mask"][j]
+                predictions = {
+                    "mask_prob": prob,
+                    "mask_pred": pred_label,
+                    "instance_pred": int(np.argmax(out["instance_logits"][j])),
+                    "score": float(out["score"][j, 0]),
+                    "segments": out["segments"][j],
+                }
+                attn = {"rg2kg": out["attention"]["rg2kg"][j][node_mask]}
+                multimodal_panel(images[j], predictions, attn, predictor.kg_ordered,
+                                 os.path.join(output_dir, f"pred_{f}"), f)
+
+    with open(os.path.join(output_dir, "batch_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
+                       n_segments: int = 500, batch_size: int = 16,
+                       max_images: Optional[int] = None,
+                       threshold: float = 0.5) -> Dict[str, float]:
+    """Batched RG eval with fully on-device metrics (MAE/IoU/Dice/F1/S/E)."""
+    model, variables = load_rg_model(checkpoint_path)
+    pipeline = RegionGraphPipeline(model, n_segments=n_segments)
+
+    files = sorted(f for f in os.listdir(image_dir)
+                   if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
+    if max_images:
+        files = files[:max_images]
+
+    heatmaps, gts = [], []
+    for i in range(0, len(files), batch_size):
+        chunk = files[i: i + batch_size]
+        imgs, masks = [], []
+        for f in chunk:
+            gt_path = os.path.join(gt_dir, os.path.splitext(f)[0] + ".png")
+            if not os.path.exists(gt_path):
+                continue
+            imgs.append(load_image_rgb(os.path.join(image_dir, f), pipeline.image_size))
+            masks.append(load_mask(gt_path, pipeline.image_size))
+        if not imgs:
+            continue
+        batch = np.stack(imgs)
+        pad = 0
+        if batch.shape[0] < batch_size and len(heatmaps) > 0:
+            pad = batch_size - batch.shape[0]
+            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+        out = pipeline(variables, jnp.asarray(batch))
+        hm = np.asarray(out["heatmap"])
+        heatmaps.append(hm[: len(imgs)])
+        gts.append(np.stack(masks))
+
+    preds = jnp.asarray(np.concatenate(heatmaps))
+    gt = jnp.asarray(np.concatenate(gts))
+    return {k: float(v) for k, v in batch_evaluate(preds, gt, threshold).items()}

@@ -1,0 +1,103 @@
+"""Pallas fused cross-attention kernel (TPU inference path).
+
+Fuses the whole multi-head attention of the fusion model — QKV projections,
+scaled logits, key-masked softmax, value contraction, head merge, output
+projection, and the head-averaged probability map the API exposes — into one
+VMEM-resident kernel per batch element.  At the reference's shapes
+(Nq ≤ 512 RG nodes × Nk ≤ 16 KG categories, E = 256) every operand fits in
+VMEM comfortably (< 2 MB), so the kernel needs no K/V streaming: it is a
+single-block flash-style kernel whose wins come from fusion (one HBM
+round-trip for q/k/v instead of ~8 intermediate tensors).
+
+Numerics match :func:`camouflage_multimodal_tpu.ops.attention.multihead_attention`
+(same parameter layout; validated in tests via interpret mode on CPU and on
+real TPU by the integration suite).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _mha_kernel(num_heads: int, q_ref, k_ref, v_ref, mask_ref,
+                wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                wo_ref, bo_ref, out_ref, probs_ref):
+    """One batch element: q (Nq, E), k/v (Nk, E), mask (1, Nk)."""
+    E = q_ref.shape[-1]
+    Nq = q_ref.shape[0]
+    Nk = k_ref.shape[0]
+    hd = E // num_heads
+    scale = 1.0 / (hd ** 0.5)
+
+    q = jnp.dot(q_ref[:], wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[:]
+    k = jnp.dot(k_ref[:], wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[:]
+    v = jnp.dot(v_ref[:], wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
+
+    key_valid = mask_ref[0, :]  # (Nk,)
+    probs_acc = jnp.zeros((Nq, Nk), jnp.float32)
+    ctx = jnp.zeros((Nq, E), jnp.float32)
+
+    for h in range(num_heads):
+        qh = q[:, h * hd:(h + 1) * hd] * scale
+        kh = k[:, h * hd:(h + 1) * hd]
+        vh = v[:, h * hd:(h + 1) * hd]
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Nq, Nk)
+        logits = jnp.where(key_valid[None, :], logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        probs_acc = probs_acc + p
+        ctx = ctx.at[:, h * hd:(h + 1) * hd].set(
+            jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        )
+
+    out_ref[:] = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    probs_ref[:] = probs_acc / num_heads
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def pallas_multihead_attention(
+    params: Dict[str, jnp.ndarray],
+    query: jnp.ndarray,      # (B, Nq, E)
+    key: jnp.ndarray,        # (B, Nk, E)
+    value: jnp.ndarray,      # (B, Nk, E)
+    num_heads: int,
+    key_mask: jnp.ndarray,   # (B, Nk) bool
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused MHA; returns (output (B, Nq, E), avg probs (B, Nq, Nk))."""
+    B, Nq, E = query.shape
+    Nk = key.shape[1]
+
+    kernel = functools.partial(_mha_kernel, num_heads)
+
+    def one(q, k, v, m):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((Nq, E), jnp.float32),
+                jax.ShapeDtypeStruct((Nq, Nk), jnp.float32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(q, k, v, m[None, :],
+          params["wq"], params["bq"][None, :], params["wk"], params["bk"][None, :],
+          params["wv"], params["bv"][None, :], params["wo"], params["bo"][None, :])
+
+    out, probs = jax.vmap(one)(query.astype(jnp.float32), key.astype(jnp.float32),
+                               value.astype(jnp.float32), key_mask)
+    return out, probs

@@ -1,0 +1,303 @@
+"""Multimodal fusion trainer ("fixed" trainer of the reference).
+
+Behavioral port of ``train_multimodal.py`` (:97-509):
+
+* ``SmartMultimodalDataset`` semantics: keep samples whose 3 GT files exist,
+  image-level (label, confidence) from the cv2 mask heuristic, edge_label =
+  mean(edge_mask) > 10, score_label = mean(mask)/255, ±0.01 Gaussian noise
+  augmentation with prob 0.5 (:166-188).
+* 5× minority-class oversampling with confidence-scaled weights through a
+  WeightedRandomSampler equivalent (:142-164).
+* Loss = 3·AggressiveFocal(mask) + 1·CE(instance←mask label) + 0.5·BCE(edge)
+  + 0.3·MSE(score), accumulated per-sample then one optimizer step — the
+  reference's per-sample backward loop sums gradients (:245-279), so the
+  batched equivalent is the SUM of per-sample losses.
+* AdamW + CosineAnnealingWarmRestarts(T_0=10,T_mult=2), grad clip 1.0,
+  best-checkpoint on val F1-class-1, early stop patience 15 (:459-481).
+
+TPU formulation: variable-node samples are padded into (B, K, 128) buckets
+with masks so the whole batch is one jitted step — the reference could not
+batch at all (identity collate, per-sample forward).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from camouflage_multimodal_tpu.core.checkpoint import save_checkpoint
+from camouflage_multimodal_tpu.data.labels import extract_label_from_mask
+from camouflage_multimodal_tpu.models.fusion import MultimodalCamouflageDetector, build_multimodal_model
+from camouflage_multimodal_tpu.train.losses import bce_with_logits, focal_loss, weighted_cross_entropy
+from camouflage_multimodal_tpu.train.schedules import cosine_warm_restarts
+from camouflage_multimodal_tpu.train.state import TrainState, apply_updates, make_adamw_tx
+
+
+def calculate_f1_score(predictions: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
+    """Per-class F1 (train_multimodal.py:197-220, same eps)."""
+    predictions = np.asarray(predictions)
+    labels = np.asarray(labels)
+    tp = float(((predictions == 1) & (labels == 1)).sum())
+    fp = float(((predictions == 1) & (labels == 0)).sum())
+    fn = float(((predictions == 0) & (labels == 1)).sum())
+    tn = float(((predictions == 0) & (labels == 0)).sum())
+    precision_1 = tp / (tp + fp + 1e-8)
+    recall_1 = tp / (tp + fn + 1e-8)
+    f1_1 = 2 * precision_1 * recall_1 / (precision_1 + recall_1 + 1e-8)
+    precision_0 = tn / (tn + fn + 1e-8)
+    recall_0 = tn / (tn + fp + 1e-8)
+    f1_0 = 2 * precision_0 * recall_0 / (precision_0 + recall_0 + 1e-8)
+    return {
+        "f1_class_0": f1_0, "f1_class_1": f1_1, "f1_avg": (f1_0 + f1_1) / 2,
+        "precision_1": precision_1, "recall_1": recall_1,
+    }
+
+
+class FusionDataset:
+    """Matched RG/KG samples + GT-derived labels, padded to fixed buckets."""
+
+    def __init__(self, matched_data: List[Dict[str, Any]], mask_dir: str,
+                 instance_dir: str, edge_dir: str, max_rg_nodes: int = 512,
+                 augment: bool = False, seed: int = 0) -> None:
+        from PIL import Image
+
+        self.max_rg_nodes = max_rg_nodes
+        self.augment = augment
+        self.rng = np.random.default_rng(seed)
+        self.samples: List[Dict[str, Any]] = []
+        for sample in matched_data:
+            base = os.path.splitext(sample["image_name"])[0]
+            mask_path = os.path.join(mask_dir, base + ".png")
+            instance_path = os.path.join(instance_dir, base + ".png")
+            edge_path = os.path.join(edge_dir, base + ".png")
+            if not all(os.path.exists(p) for p in (mask_path, instance_path, edge_path)):
+                continue
+            label, confidence = extract_label_from_mask(mask_path)
+            mask = np.asarray(Image.open(mask_path).convert("L"))
+            edge_mask = np.asarray(Image.open(edge_path).convert("L"))
+            self.samples.append({
+                **sample,
+                "label": int(label),
+                "confidence": float(confidence),
+                "edge_label": float(edge_mask.mean() > 10),
+                "score_label": float(mask.mean() / 255.0),
+            })
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def get_labels(self) -> List[int]:
+        return [s["label"] for s in self.samples]
+
+    def get_aggressive_sample_weights(self) -> List[float]:
+        """5× minority boost × confidence (train_multimodal.py:142-164)."""
+        labels = self.get_labels()
+        confidences = [s["confidence"] for s in self.samples]
+        counts: Dict[int, int] = {}
+        for l in labels:
+            counts[l] = counts.get(l, 0) + 1
+        majority = max(counts.values())
+        class_weights = {c: (majority / cnt) * 5.0 if c == 1 else 1.0
+                         for c, cnt in counts.items()}
+        return [class_weights[labels[i]] * confidences[i] for i in range(len(labels))]
+
+    def collate(self, indices) -> Dict[str, np.ndarray]:
+        """Pad a set of samples into one batch."""
+        B = len(indices)
+        K = self.max_rg_nodes
+        n_kg = self.samples[indices[0]]["kg_embeddings"].shape[0]
+        dim = self.samples[indices[0]]["rg_node_embeddings"].shape[1]
+        rg = np.zeros((B, K, dim), np.float32)
+        rg_mask = np.zeros((B, K), bool)
+        kg = np.zeros((B, n_kg, dim), np.float32)
+        y = np.zeros((B,), np.int64)
+        edge = np.zeros((B,), np.float32)
+        score = np.zeros((B,), np.float32)
+        for i, idx in enumerate(indices):
+            s = self.samples[idx]
+            node = np.asarray(s["rg_node_embeddings"], np.float32)
+            kge = np.asarray(s["kg_embeddings"], np.float32)
+            if self.augment and self.rng.random() > 0.5:
+                node = node + self.rng.standard_normal(node.shape).astype(np.float32) * 0.01
+                kge = kge + self.rng.standard_normal(kge.shape).astype(np.float32) * 0.01
+            n = min(node.shape[0], K)
+            rg[i, :n] = node[:n]
+            rg_mask[i, :n] = True
+            kg[i] = kge
+            y[i] = s["label"]
+            edge[i] = s["edge_label"]
+            score[i] = s["score_label"]
+        return {"rg": rg, "rg_mask": rg_mask, "kg": kg, "y": y,
+                "edge": edge, "score": score}
+
+
+class FusionTrainer:
+    def __init__(self, model: Optional[MultimodalCamouflageDetector] = None,
+                 model_config: Optional[Dict[str, Any]] = None,
+                 learning_rate: float = 5e-4, weight_decay: float = 1e-4,
+                 task_weights: Optional[Dict[str, float]] = None) -> None:
+        self.model = model or build_multimodal_model(model_config or {})
+        self.base_lr = learning_rate
+        self.tx = make_adamw_tx(weight_decay)
+        # Reference hardcoded 3.0/1.0/0.5/0.3 (train_multimodal.py:257-266).
+        self.w = task_weights or {"mask": 3.0, "instance": 1.0, "edge": 0.5, "score": 0.3}
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def init_state(self, rng: jax.Array, rg_dim: int = 128, n_kg: int = 13,
+                   max_rg_nodes: int = 512) -> TrainState:
+        dummy_rg = jnp.zeros((1, max_rg_nodes, rg_dim))
+        dummy_kg = jnp.zeros((1, n_kg, rg_dim))
+        variables = self.model.init(rng, dummy_rg, dummy_kg)
+        params = variables["params"]
+        return TrainState(params=params, batch_stats={},
+                          opt_state=self.tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    def _losses(self, out, batch):
+        B = batch["y"].shape[0]
+        per_mask = jax.vmap(lambda lo, la: focal_loss(lo[None], la[None]))(
+            out["mask_logits"], batch["y"])
+        per_inst = jax.vmap(lambda lo, la: weighted_cross_entropy(lo[None], la[None]))(
+            out["instance_logits"], batch["y"])
+        per_edge = jax.vmap(lambda lo, la: bce_with_logits(lo, la))(
+            out["edge_logits"][:, 0], batch["edge"])
+        per_score = jax.vmap(lambda p, t: jnp.mean((p - t) ** 2))(
+            out["score"][:, 0], batch["score"])
+        # SUM over samples = the reference's per-sample grad accumulation.
+        total = jnp.sum(self.w["mask"] * per_mask + self.w["instance"] * per_inst
+                        + self.w["edge"] * per_edge + self.w["score"] * per_score)
+        return total
+
+    def _train_step_impl(self, state, batch, lr, dropout_rng):
+        def loss_fn(params):
+            out = self.model.apply(
+                {"params": params}, batch["rg"], batch["kg"],
+                rg_mask=batch["rg_mask"], train=True, rngs={"dropout": dropout_rng},
+            )
+            total = self._losses(out, batch)
+            preds = jnp.argmax(out["mask_logits"], -1)
+            return total, preds
+
+        (loss, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = apply_updates(self.tx, state, grads, lr)
+        return new_state, loss, preds
+
+    def _eval_step_impl(self, state, batch):
+        out = self.model.apply({"params": state.params}, batch["rg"], batch["kg"],
+                               rg_mask=batch["rg_mask"])
+        # Validation uses plain CE (train_multimodal.py:312,323)
+        per_ce = jax.vmap(lambda lo, la: weighted_cross_entropy(lo[None], la[None]))(
+            out["mask_logits"], batch["y"])
+        preds = jnp.argmax(out["mask_logits"], -1)
+        return jnp.sum(per_ce), preds
+
+    def fit(self, dataset: FusionDataset, epochs: int = 30, batch_size: int = 4,
+            train_split: float = 0.8, seed: int = 0,
+            checkpoint_dir: Optional[str] = None, max_patience: int = 15,
+            config: Optional[Dict[str, Any]] = None,
+            log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
+        rng = np.random.default_rng(seed)
+        n = len(dataset)
+        perm = rng.permutation(n)
+        n_train = int(train_split * n)
+        train_idx, val_idx = perm[:n_train], perm[n_train:]
+
+        weights = np.asarray(dataset.get_aggressive_sample_weights())
+        train_weights = weights[train_idx]
+        p = train_weights / train_weights.sum()
+
+        first = dataset.samples[0]
+        state = self.init_state(
+            jax.random.PRNGKey(seed),
+            rg_dim=first["rg_node_embeddings"].shape[1],
+            n_kg=first["kg_embeddings"].shape[0],
+            max_rg_nodes=dataset.max_rg_nodes,
+        )
+        dropout_key = jax.random.PRNGKey(seed + 1)
+
+        history: Dict[str, List[float]] = {k: [] for k in (
+            "train_loss", "val_loss", "train_f1_class_0", "train_f1_class_1",
+            "train_f1_avg", "val_f1_class_0", "val_f1_class_1", "val_f1_avg",
+            "val_acc_0", "val_acc_1")}
+        best_f1 = 0.0
+        patience = 0
+
+        for epoch in range(epochs):
+            lr = cosine_warm_restarts(epoch, self.base_lr, T_0=10, T_mult=2)
+            # WeightedRandomSampler(len(train), replacement=True)
+            sampled = rng.choice(train_idx, size=len(train_idx), replace=True, p=p)
+            all_preds, all_labels, total_loss = [], [], 0.0
+            for i in range(0, len(sampled), batch_size):
+                idx = sampled[i: i + batch_size]
+                batch = {k: jnp.asarray(v) for k, v in dataset.collate(idx).items()}
+                dropout_key, sub = jax.random.split(dropout_key)
+                state, loss, preds = self._train_step(state, batch,
+                                                      jnp.asarray(lr, jnp.float32), sub)
+                total_loss += float(loss)
+                all_preds.extend(np.asarray(preds).tolist())
+                all_labels.extend(np.asarray(batch["y"]).tolist())
+            train_f1 = calculate_f1_score(np.asarray(all_preds), np.asarray(all_labels))
+            train_loss = total_loss / max(len(all_preds), 1)
+
+            va_preds, va_labels, va_loss = [], [], 0.0
+            for i in range(0, len(val_idx), batch_size):
+                idx = val_idx[i: i + batch_size]
+                batch = {k: jnp.asarray(v) for k, v in dataset.collate(idx).items()}
+                loss, preds = self._eval_step(state, batch)
+                va_loss += float(loss)
+                va_preds.extend(np.asarray(preds).tolist())
+                va_labels.extend(np.asarray(batch["y"]).tolist())
+            val_f1 = calculate_f1_score(np.asarray(va_preds), np.asarray(va_labels))
+            val_loss = va_loss / max(len(va_preds), 1)
+
+            va_labels_np = np.asarray(va_labels)
+            va_preds_np = np.asarray(va_preds)
+            acc_0 = 100.0 * ((va_preds_np == va_labels_np) & (va_labels_np == 0)).sum() / max((va_labels_np == 0).sum(), 1)
+            acc_1 = 100.0 * ((va_preds_np == va_labels_np) & (va_labels_np == 1)).sum() / max((va_labels_np == 1).sum(), 1)
+
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            history["train_f1_class_0"].append(train_f1["f1_class_0"])
+            history["train_f1_class_1"].append(train_f1["f1_class_1"])
+            history["train_f1_avg"].append(train_f1["f1_avg"])
+            history["val_f1_class_0"].append(val_f1["f1_class_0"])
+            history["val_f1_class_1"].append(val_f1["f1_class_1"])
+            history["val_f1_avg"].append(val_f1["f1_avg"])
+            history["val_acc_0"].append(acc_0)
+            history["val_acc_1"].append(acc_1)
+
+            log_fn(f"Epoch {epoch + 1}/{epochs} Train: Loss={train_loss:.4f} "
+                   f"F1_C1={train_f1['f1_class_1']:.3f} | Val: Loss={val_loss:.4f} "
+                   f"F1_C1={val_f1['f1_class_1']:.3f} Acc0={acc_0:.1f}% Acc1={acc_1:.1f}%")
+
+            if val_f1["f1_class_1"] > best_f1:
+                best_f1 = val_f1["f1_class_1"]
+                patience = 0
+                if checkpoint_dir:
+                    save_checkpoint(os.path.join(checkpoint_dir, "multimodal_best_fixed.ckpt"), {
+                        "epoch": epoch,
+                        "params": state.params,
+                        "opt_state": state.opt_state,
+                        "val_loss": val_loss,
+                        "val_f1_class_1": val_f1["f1_class_1"],
+                        "val_f1_avg": val_f1["f1_avg"],
+                        "val_acc_0": acc_0,
+                        "val_acc_1": acc_1,
+                        "config": config or {},
+                    })
+            else:
+                patience += 1
+                if patience >= max_patience:
+                    log_fn(f"Early stopping after {patience} epochs")
+                    break
+
+        if checkpoint_dir:
+            with open(os.path.join(checkpoint_dir, "training_history_fixed.json"), "w") as f:
+                json.dump(history, f, indent=2)
+        return state, history

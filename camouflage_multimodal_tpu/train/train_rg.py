@@ -1,0 +1,202 @@
+"""Region-graph multi-task trainer.
+
+Behavioral port of ``train_model`` / ``validate_model``
+(``/root/reference/models/region_graph/train.py:315-416``): AdamW(lr=1e-3,
+wd=1e-4), CosineAnnealingWarmRestarts(T_0=10, T_mult=2) stepped per epoch,
+class-weighted CE (mask [1,5], instance [1,4]), BCE pos_weight=3 on edges,
+task weights mask=2.0 / instance=1.0 / edge=0.5, grad clip 1.0, 80/20 random
+split, best-val-loss checkpointing.
+
+TPU formulation: the graph building that the reference ran per-item in
+DataLoader workers (hot loop #1) runs on device inside
+:func:`build_region_graphs_with_labels`, and the train step is one jit over
+a real (B, K, ...) batch. Because graph construction is deterministic, built
+graphs are cached after the first epoch instead of being recomputed per epoch
+as the reference did.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from camouflage_multimodal_tpu.core.checkpoint import save_checkpoint
+from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
+from camouflage_multimodal_tpu.pipeline import build_region_graphs_with_labels
+from camouflage_multimodal_tpu.train.losses import bce_with_logits, weighted_cross_entropy
+from camouflage_multimodal_tpu.train.schedules import cosine_warm_restarts
+from camouflage_multimodal_tpu.train.state import TrainState, apply_updates, make_adamw_tx
+
+TASK_WEIGHTS = {"mask": 2.0, "instance": 1.0, "edge": 0.5}
+MASK_CLASS_WEIGHTS = (1.0, 5.0)
+INSTANCE_CLASS_WEIGHTS = (1.0, 4.0)
+EDGE_POS_WEIGHT = 3.0
+
+
+def rg_loss(outputs: Dict[str, jnp.ndarray], labels: Dict[str, jnp.ndarray],
+            node_mask: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    loss_mask = weighted_cross_entropy(
+        outputs["mask_logits"], labels["mask_labels"], MASK_CLASS_WEIGHTS, node_mask
+    ) * TASK_WEIGHTS["mask"]
+    loss_instance = weighted_cross_entropy(
+        outputs["instance_logits"], labels["instance_labels"], INSTANCE_CLASS_WEIGHTS, node_mask
+    ) * TASK_WEIGHTS["instance"]
+    loss_edge = bce_with_logits(
+        outputs["edge_logits"][..., 0], labels["edge_labels"], EDGE_POS_WEIGHT, node_mask
+    ) * TASK_WEIGHTS["edge"]
+    loss = loss_mask + loss_instance + loss_edge
+
+    valid = node_mask
+    pred_mask = jnp.argmax(outputs["mask_logits"], -1)
+    pred_inst = jnp.argmax(outputs["instance_logits"], -1)
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    metrics = {
+        "loss": loss,
+        "acc_mask": jnp.sum((pred_mask == labels["mask_labels"]) & valid) / n,
+        "acc_instance": jnp.sum((pred_inst == labels["instance_labels"]) & valid) / n,
+    }
+    return loss, metrics
+
+
+class RGTrainer:
+    def __init__(self, model: Optional[RegionGraphGNN] = None,
+                 n_segments: int = 500, max_nodes: int = 512,
+                 learning_rate: float = 1e-3, weight_decay: float = 1e-4,
+                 slic_iters: int = 10) -> None:
+        self.model = model or RegionGraphGNN()
+        self.n_segments = n_segments
+        self.max_nodes = max_nodes
+        self.slic_iters = slic_iters
+        self.base_lr = learning_rate
+        self.tx = make_adamw_tx(weight_decay)
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        K = self.max_nodes
+        dummy = (
+            jnp.zeros((1, K, self.model.in_channels)),
+            jnp.zeros((1, K, K), bool),
+            jnp.zeros((1, K, K)),
+            jnp.ones((1, K), bool),
+        )
+        variables = self.model.init(rng, *dummy)
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def build_graphs(self, images: np.ndarray, masks: np.ndarray,
+                     instances: np.ndarray, edges: np.ndarray):
+        """Device-side graph construction + GT labels for a batch of images."""
+        batch, labels = build_region_graphs_with_labels(
+            jnp.asarray(images), jnp.asarray(masks), jnp.asarray(instances),
+            jnp.asarray(edges), self.n_segments, self.max_nodes, self.slic_iters,
+        )
+        return batch, labels
+
+    def _train_step_impl(self, state: TrainState, feats, adj, w, mask, labels,
+                         lr, dropout_rng):
+        def loss_fn(params):
+            outputs, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats, adj, w, mask, train=True,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+            )
+            loss, metrics = rg_loss(outputs, labels, mask)
+            return loss, (metrics, mutated["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = apply_updates(self.tx, state, grads, lr, new_batch_stats=new_bs)
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, feats, adj, w, mask, labels):
+        outputs = self.model.apply(state.variables, feats, adj, w, mask)
+        _, metrics = rg_loss(outputs, labels, mask)
+        return metrics
+
+    def lr_at_epoch(self, epoch: int) -> float:
+        return cosine_warm_restarts(epoch, self.base_lr, T_0=10, T_mult=2)
+
+    def fit(self, dataset, epochs: int = 30, batch_size: int = 4,
+            train_split: float = 0.8, seed: int = 0,
+            checkpoint_path: Optional[str] = "best_model.ckpt",
+            log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
+        """Full training loop over a :class:`CODDataset`."""
+        rng = np.random.default_rng(seed)
+        n = len(dataset)
+        perm = rng.permutation(n)
+        n_train = int(train_split * n)
+        train_idx, val_idx = perm[:n_train], perm[n_train:]
+
+        state = self.init_state(jax.random.PRNGKey(seed))
+        dropout_key = jax.random.PRNGKey(seed + 1)
+
+        graph_cache: Dict[int, Any] = {}
+
+        def batches(indices, shuffle):
+            order = rng.permutation(indices) if shuffle else indices
+            for i in range(0, len(order), batch_size):
+                chunk = order[i: i + batch_size]
+                key = tuple(sorted(chunk))
+                if key not in graph_cache:
+                    raw = dataset.load_batch(chunk)
+                    batch, labels = self.build_graphs(
+                        raw["image"], raw["mask"], raw["instance"], raw["edge"]
+                    )
+                    graph_cache[key] = (jax.device_get(batch), jax.device_get(labels))
+                yield graph_cache[key]
+
+        history: Dict[str, List[float]] = {"train_loss": [], "val_loss": [],
+                                           "train_acc_mask": [], "val_acc_mask": []}
+        best_val = float("inf")
+        for epoch in range(epochs):
+            lr = self.lr_at_epoch(epoch)
+            tr_metrics = []
+            for batch, labels in batches(train_idx, shuffle=False):
+                dropout_key, sub = jax.random.split(dropout_key)
+                state, m = self._train_step(
+                    state, batch.features, batch.adjacency, batch.edge_weights,
+                    batch.node_mask,
+                    {k: jnp.asarray(v) for k, v in labels.items()},
+                    jnp.asarray(lr, jnp.float32), sub,
+                )
+                tr_metrics.append(jax.device_get(m))
+            va_metrics = []
+            for batch, labels in batches(val_idx, shuffle=False):
+                m = self._eval_step(
+                    state, batch.features, batch.adjacency, batch.edge_weights,
+                    batch.node_mask, {k: jnp.asarray(v) for k, v in labels.items()},
+                )
+                va_metrics.append(jax.device_get(m))
+
+            tr_loss = float(np.mean([m["loss"] for m in tr_metrics]))
+            va_loss = float(np.mean([m["loss"] for m in va_metrics])) if va_metrics else float("nan")
+            history["train_loss"].append(tr_loss)
+            history["val_loss"].append(va_loss)
+            history["train_acc_mask"].append(float(np.mean([m["acc_mask"] for m in tr_metrics])))
+            history["val_acc_mask"].append(
+                float(np.mean([m["acc_mask"] for m in va_metrics])) if va_metrics else float("nan"))
+            log_fn(f"Epoch {epoch + 1}/{epochs} - Loss: {tr_loss:.4f} - Val Loss: {va_loss:.4f} "
+                   f"- Val Mask Acc: {history['val_acc_mask'][-1]:.4f} (lr={lr:.6f})")
+
+            if checkpoint_path and va_metrics and va_loss < best_val:
+                best_val = va_loss
+                save_checkpoint(checkpoint_path, {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "epoch": epoch,
+                    "val_loss": va_loss,
+                    "model_config": {
+                        "in_channels": self.model.in_channels,
+                        "hidden_channels": self.model.hidden_channels,
+                        "num_classes": self.model.num_classes,
+                    },
+                })
+        return state, history

@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests on real COD10K images + multichip dryrun."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_region_graph_pipeline_end_to_end(sample_image_paths):
+    """Full image → heatmap pipeline: shapes, ranges, reconstruction."""
+    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+    from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
+    from camouflage_multimodal_tpu.pipeline import RegionGraphPipeline, padded_nodes
+
+    size, nseg = 128, 128
+    model = RegionGraphGNN()
+    pipe = RegionGraphPipeline(model, n_segments=nseg, image_size=size,
+                               max_nodes=padded_nodes(nseg, size), slic_iters=4)
+    images = np.stack([load_image_rgb(p, size) for p in sample_image_paths[:2]])
+
+    K = pipe.max_nodes
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, K, 15)),
+                           jnp.zeros((1, K, K), bool), jnp.zeros((1, K, K)),
+                           jnp.ones((1, K), bool))
+    out = pipe(variables, jnp.asarray(images))
+
+    hm = np.asarray(out["heatmap"])
+    seg = np.asarray(out["segments"])
+    mask = np.asarray(out["node_mask"])
+    assert hm.shape == (2, size, size)
+    assert (hm >= 0).all() and (hm <= 1).all()
+    assert seg.shape == (2, size, size)
+    # most slic clusters populated on a natural image
+    assert mask.sum(axis=1).min() > 0.5 * nseg
+    # paint-back: pixels of the same segment share the heatmap value
+    s0 = seg[0]
+    for sid in np.unique(s0)[:10]:
+        vals = hm[0][s0 == sid]
+        assert np.allclose(vals, vals[0], atol=1e-6)
+    # node features finite
+    emb = np.asarray(out["node_embeddings"])
+    assert np.isfinite(emb).all()
+
+
+def test_region_features_on_real_image_match_reference_loop(sample_image_paths):
+    """The full device graph build on a real image vs the numpy reference
+    loop (scipy dilations), holding SLIC segments + canny fixed."""
+    import scipy.ndimage as ndi
+
+    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+    from camouflage_multimodal_tpu.ops.canny import canny
+    from camouflage_multimodal_tpu.ops.image import rgb_to_gray
+    from camouflage_multimodal_tpu.ops.regions import region_features
+    from camouflage_multimodal_tpu.ops.slic import slic
+
+    size = 96
+    img = load_image_rgb(sample_image_paths[0], size)
+    seg = np.asarray(slic(jnp.asarray(img), n_segments=64, num_iters=5))
+    edges = np.asarray(canny(rgb_to_gray(jnp.asarray(img)), sigma=2.0))
+
+    out = region_features(jnp.asarray(img), jnp.asarray(seg), jnp.asarray(edges), 80)
+    feats = np.asarray(out["features"])
+    node_mask = np.asarray(out["node_mask"])
+
+    gray = img @ np.array([0.2989, 0.5870, 0.1140])
+    checked = 0
+    for rid in np.unique(seg)[:20]:
+        m = seg == rid
+        assert node_mask[rid]
+        mean_color = img[m].mean(axis=0)
+        np.testing.assert_allclose(feats[rid, :3], mean_color, atol=1e-4)
+        np.testing.assert_allclose(feats[rid, 6], gray[m].mean(), atol=1e-4)
+        perimeter = np.sum(ndi.binary_dilation(m) ^ m)
+        comp = perimeter**2 / (4 * np.pi * m.sum() + 1e-10)
+        np.testing.assert_allclose(feats[rid, 11], comp, rtol=1e-3)
+        np.testing.assert_allclose(feats[rid, 13], edges[m].mean(), atol=1e-4)
+        dil = ndi.binary_dilation(m, iterations=2) & ~m
+        contrast = np.linalg.norm(mean_color - img[dil].mean(axis=0))
+        np.testing.assert_allclose(feats[rid, 12], contrast, atol=1e-3)
+        checked += 1
+    assert checked >= 10
+
+
+def test_graft_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    mask_logits, score, heatmap = out
+    assert np.isfinite(np.asarray(mask_logits)).all()
+    assert heatmap.shape[0] == args[2].shape[0]
+
+
+def test_dryrun_multichip_8_devices():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_2_devices():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(2)

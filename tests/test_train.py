@@ -1,0 +1,170 @@
+"""Loss/schedule parity vs torch + trainer smoke tests."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from camouflage_multimodal_tpu.train.losses import (
+    bce_with_logits,
+    focal_loss,
+    weighted_cross_entropy,
+)
+from camouflage_multimodal_tpu.train.schedules import cosine_warm_restarts
+from camouflage_multimodal_tpu.train.train_fusion import calculate_f1_score
+
+
+def test_weighted_ce_matches_torch(rng):
+    logits = rng.standard_normal((10, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, 10)
+    ref = torch.nn.CrossEntropyLoss(weight=torch.tensor([1.0, 5.0]))(
+        torch.tensor(logits), torch.tensor(labels)).item()
+    got = float(weighted_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), (1.0, 5.0)))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_weighted_ce_mask_equals_subset(rng):
+    logits = rng.standard_normal((10, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, 10)
+    mask = np.arange(10) < 6
+    got = float(weighted_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                       (1.0, 5.0), jnp.asarray(mask)))
+    ref = float(weighted_cross_entropy(jnp.asarray(logits[:6]), jnp.asarray(labels[:6]),
+                                       (1.0, 5.0)))
+    assert got == pytest.approx(ref, rel=1e-6)
+
+
+def test_bce_pos_weight_matches_torch(rng):
+    logits = rng.standard_normal(16).astype(np.float32)
+    targets = rng.integers(0, 2, 16).astype(np.float32)
+    ref = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor([3.0]))(
+        torch.tensor(logits), torch.tensor(targets)).item()
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets), 3.0))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_focal_loss_matches_reference_formula(rng):
+    """AggressiveFocalLoss (train_multimodal.py:29-57) in torch as golden."""
+    logits = rng.standard_normal((12, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, 12)
+
+    t_logits = torch.tensor(logits)
+    t_labels = torch.tensor(labels)
+    ce = tF.cross_entropy(t_logits, t_labels, reduction="none")
+    probs = tF.softmax(t_logits, dim=1)
+    pt = probs.gather(1, t_labels.unsqueeze(1)).squeeze(1)
+    alpha_t = torch.where(t_labels == 1, torch.tensor(0.75), torch.tensor(0.25))
+    ref = (alpha_t * (1 - pt) ** 3.0 * ce).mean().item()
+
+    got = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels), 0.75, 3.0))
+    assert got == pytest.approx(ref, rel=1e-4)
+
+
+def test_cosine_warm_restarts_matches_torch():
+    net = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(net.parameters(), lr=1e-3)
+    sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(opt, T_0=10, T_mult=2)
+    for epoch in range(40):
+        ref_lr = opt.param_groups[0]["lr"]
+        got_lr = cosine_warm_restarts(epoch, 1e-3, T_0=10, T_mult=2)
+        assert got_lr == pytest.approx(ref_lr, rel=1e-6), f"epoch {epoch}"
+        opt.step()
+        sched.step()
+
+
+def test_f1_score_matches_reference():
+    preds = np.array([1, 0, 1, 1, 0, 0, 1, 0])
+    labels = np.array([1, 0, 0, 1, 1, 0, 1, 1])
+    m = calculate_f1_score(preds, labels)
+    tp, fp, fn, tn = 3, 1, 2, 2
+    p1 = tp / (tp + fp + 1e-8)
+    r1 = tp / (tp + fn + 1e-8)
+    assert m["precision_1"] == pytest.approx(p1, rel=1e-6)
+    assert m["recall_1"] == pytest.approx(r1, rel=1e-6)
+    assert m["f1_class_1"] == pytest.approx(2 * p1 * r1 / (p1 + r1 + 1e-8), rel=1e-6)
+
+
+def test_adamw_step_matches_torch(rng):
+    """One optimizer step (grad clip + AdamW) against torch."""
+    from camouflage_multimodal_tpu.train.state import TrainState, apply_updates, make_adamw_tx
+
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    g = rng.standard_normal((4, 3)).astype(np.float32) * 5.0  # big → clipping active
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.AdamW([tw], lr=1e-3, weight_decay=1e-4)
+    tw.grad = torch.tensor(g.copy())
+    torch.nn.utils.clip_grad_norm_([tw], max_norm=1.0)
+    opt.step()
+
+    tx = make_adamw_tx(1e-4)
+    params = {"w": jnp.asarray(w0)}
+    state = TrainState(params=params, batch_stats={}, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    new_state = apply_updates(tx, state, {"w": jnp.asarray(g)}, jnp.asarray(1e-3))
+    np.testing.assert_allclose(np.asarray(new_state.params["w"]),
+                               tw.detach().numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_rg_train_step_decreases_loss(rng):
+    """A few steps on one synthetic batch should reduce the multi-task loss."""
+    from camouflage_multimodal_tpu.train.train_rg import RGTrainer
+
+    K = 32
+    trainer = RGTrainer(n_segments=25, max_nodes=K, learning_rate=1e-2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    feats = jnp.asarray(rng.random((2, K, 15)).astype(np.float32))
+    adj = jnp.zeros((2, K, K), bool)
+    w = jnp.zeros((2, K, K))
+    mask = jnp.asarray(np.arange(K)[None, :] < np.array([[20], [25]]))
+    labels = {
+        "mask_labels": jnp.asarray(rng.integers(0, 2, (2, K))),
+        "instance_labels": jnp.asarray(rng.integers(0, 2, (2, K))),
+        "edge_labels": jnp.asarray(rng.integers(0, 2, (2, K)).astype(np.float32)),
+    }
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, m = trainer._train_step(state, feats, adj, w, mask, labels,
+                                       jnp.asarray(1e-2, jnp.float32), sub)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[::10]
+
+
+def test_kg_trainer_end_to_end_tiny():
+    """Train the KG GNN briefly on real annotations; loss must drop and
+    embeddings must be extractable with the right shapes."""
+    import os
+
+    from camouflage_multimodal_tpu.kg.store import CamouflageKnowledgeStore
+    from camouflage_multimodal_tpu.train.train_kg import (
+        KGTrainer,
+        compare_embeddings,
+        create_dataset_from_store,
+    )
+
+    annot = "/root/reference/models/knowledge_graph/annotations"
+    if not os.path.isdir(annot):
+        pytest.skip("annotations unavailable")
+    store = CamouflageKnowledgeStore()
+    store.ingest_directory(annot, max_files=120)
+    subgraphs = create_dataset_from_store(store, limit_per_category=10)
+    assert len(subgraphs) > 20
+
+    trainer = KGTrainer(max_nodes=64)
+    state, history = trainer.fit(subgraphs, epochs=5, batch_size=16,
+                                 checkpoint_path=None, log_fn=lambda *_: None)
+    assert history["train_loss"][-1] < history["train_loss"][0]
+
+    embeddings, stats = trainer.batch_extract_embeddings(state, store, limit=10)
+    assert len(embeddings) >= 2
+    for cat, emb in embeddings.items():
+        assert emb.shape == (1, 128)
+        assert np.isfinite(emb).all()
+    sims = compare_embeddings(embeddings)
+    assert all(-1.0001 <= v <= 1.0001 for v in sims.values())
