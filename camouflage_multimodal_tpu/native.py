@@ -1,0 +1,93 @@
+"""ctypes bindings for the native host data loader (native/dataio.cpp).
+
+Builds on first use if the shared library is missing (g++ + libjpeg/libpng);
+falls back to the PIL path in :mod:`camouflage_multimodal_tpu.data.cod10k`
+when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libcmtdataio.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, text=True, timeout=120)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.cmt_load_image.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                       ctypes.POINTER(ctypes.c_float)]
+        lib.cmt_load_image.restype = ctypes.c_int
+        lib.cmt_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.cmt_load_batch.restype = ctypes.c_int
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def load_image(path: str, size: int = 256, gray: bool = False) -> np.ndarray:
+    """Decode + bicubic-resize one image → float32 [0,1], (size,size[,3])."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native dataio unavailable")
+    c = 1 if gray else 3
+    out = np.empty(size * size * c, dtype=np.float32)
+    rc = lib.cmt_load_image(path.encode(), size, int(gray),
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise IOError(f"native decode failed for {path}")
+    return out.reshape((size, size) if gray else (size, size, 3))
+
+
+def load_batch(paths: List[str], size: int = 256, gray: bool = False,
+               n_threads: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded batch decode. Returns (batch (N,size,size[,3]), ok (N,) bool)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native dataio unavailable")
+    n = len(paths)
+    c = 1 if gray else 3
+    out = np.empty((n, size * size * c), dtype=np.float32)
+    status = np.empty(n, dtype=np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads is None:
+        n_threads = min(max(os.cpu_count() or 1, 1), 8)
+    lib.cmt_load_batch(arr, n, size, int(gray),
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                       status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                       n_threads)
+    shape = (n, size, size) if gray else (n, size, size, 3)
+    return out.reshape(shape), status == 0

@@ -13,16 +13,16 @@ import jax.numpy as jnp
 
 def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Shift a (..., H, W) map with zero fill (out-of-image = False)."""
-    H, W = x.shape[-2], x.shape[-1]
+    zero = x.dtype.type(0)
     out = jnp.roll(x, (dy, dx), axis=(-2, -1))
     if dy > 0:
-        out = out.at[..., :dy, :].set(0)
+        out = out.at[..., :dy, :].set(zero)
     elif dy < 0:
-        out = out.at[..., dy:, :].set(0)
+        out = out.at[..., dy:, :].set(zero)
     if dx > 0:
-        out = out.at[..., :, :dx].set(0)
+        out = out.at[..., :, :dx].set(zero)
     elif dx < 0:
-        out = out.at[..., :, dx:].set(0)
+        out = out.at[..., :, dx:].set(zero)
     return out
 
 

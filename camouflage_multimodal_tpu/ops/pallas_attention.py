@@ -43,7 +43,7 @@ def _mha_kernel(num_heads: int, q_ref, k_ref, v_ref, mask_ref,
 
     key_valid = mask_ref[0, :]  # (Nk,)
     probs_acc = jnp.zeros((Nq, Nk), jnp.float32)
-    ctx = jnp.zeros((Nq, E), jnp.float32)
+    ctx_heads = []
 
     for h in range(num_heads):
         qh = q[:, h * hd:(h + 1) * hd] * scale
@@ -57,10 +57,9 @@ def _mha_kernel(num_heads: int, q_ref, k_ref, v_ref, mask_ref,
         e = jnp.exp(logits - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         probs_acc = probs_acc + p
-        ctx = ctx.at[:, h * hd:(h + 1) * hd].set(
-            jnp.dot(p, vh, preferred_element_type=jnp.float32)
-        )
+        ctx_heads.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
 
+    ctx = jnp.concatenate(ctx_heads, axis=-1)
     out_ref[:] = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
     probs_ref[:] = probs_acc / num_heads
 

@@ -1,0 +1,297 @@
+// Native host-side data loader for the TPU pipeline.
+//
+// The reference fed its models through PIL decode + resize in Python
+// DataLoader workers (region_graph/train.py:56-64); on a TPU host the decode
+// is the only work that must stay on CPU, and it must keep up with the
+// device. This loader decodes JPEG (libjpeg) / PNG (libpng), resizes with a
+// PIL-compatible antialiased bicubic filter (Catmull-Rom-style a=-0.5 with
+// support scaling), converts to float32 in [0,1], and fans a batch out over
+// a thread pool — exposed to Python through ctypes (see
+// camouflage_multimodal_tpu/native.py).
+//
+// Build: make -C native   (g++ -O2 -shared, links libjpeg/libpng only)
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+#include <setjmp.h>
+
+namespace {
+
+struct Image {
+  int w = 0, h = 0, c = 0;  // c in {1, 3}
+  std::vector<uint8_t> data;  // row-major, interleaved
+};
+
+// ---------------------------------------------------------------------------
+// JPEG decode
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jmp, 1);
+}
+
+bool decode_jpeg(FILE* f, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->c = 3;
+  out->data.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// PNG decode
+// ---------------------------------------------------------------------------
+
+bool decode_png(FILE* f, Image* out) {
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+
+  png_uint_32 w, h;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr, nullptr);
+
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  color_type = png_get_color_type(png, info);
+  int channels = (color_type == PNG_COLOR_TYPE_GRAY) ? 1 : 3;
+  out->w = int(w);
+  out->h = int(h);
+  out->c = channels;
+  out->data.resize(size_t(w) * h * channels);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; y++)
+    rows[y] = out->data.data() + size_t(y) * w * channels;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_file(const char* path, Image* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t magic[8] = {0};
+  size_t n = fread(magic, 1, 8, f);
+  rewind(f);
+  bool ok = false;
+  if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(f, out);
+  } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    ok = decode_png(f, out);
+  }
+  fclose(f);
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
+// PIL-style grayscale + antialiased bicubic resize
+// ---------------------------------------------------------------------------
+
+// PIL convert('L'): L = R*299/1000 + G*587/1000 + B*114/1000
+inline uint8_t to_gray(uint8_t r, uint8_t g, uint8_t b) {
+  return uint8_t((r * 299 + g * 587 + b * 114) / 1000);
+}
+
+// Keys cubic kernel, a = -0.5 (PIL BICUBIC)
+inline double cubic(double x) {
+  const double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+struct FilterTaps {
+  std::vector<int> xmin;        // per output pixel
+  std::vector<int> count;
+  std::vector<double> weights;  // flattened [out, max_taps]
+  int max_taps = 0;
+};
+
+// PIL ImagingResampleHorizontal weight computation (antialias: support
+// scaled by the downscale factor).
+FilterTaps make_taps(int in_size, int out_size) {
+  FilterTaps t;
+  double scale = double(in_size) / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = 2.0 * filterscale;  // bicubic support = 2
+  t.max_taps = int(std::ceil(support)) * 2 + 1;
+  t.xmin.resize(out_size);
+  t.count.resize(out_size);
+  t.weights.assign(size_t(out_size) * t.max_taps, 0.0);
+  for (int i = 0; i < out_size; i++) {
+    double center = (i + 0.5) * scale;
+    int xlo = int(center - support + 0.5);
+    int xhi = int(center + support + 0.5);
+    if (xlo < 0) xlo = 0;
+    if (xhi > in_size) xhi = in_size;
+    double sum = 0.0;
+    int k = 0;
+    for (int x = xlo; x < xhi; x++, k++) {
+      double w = cubic((x + 0.5 - center) / filterscale);
+      t.weights[size_t(i) * t.max_taps + k] = w;
+      sum += w;
+    }
+    if (sum != 0.0)
+      for (int j = 0; j < k; j++) t.weights[size_t(i) * t.max_taps + j] /= sum;
+    t.xmin[i] = xlo;
+    t.count[i] = k;
+  }
+  return t;
+}
+
+// Resize (h_in, w_in, c) float buffer to (out, out, c); separable passes.
+void resize_bicubic(const std::vector<float>& in, int w_in, int h_in, int c,
+                    int out_size, std::vector<float>* out) {
+  FilterTaps tx = make_taps(w_in, out_size);
+  FilterTaps ty = make_taps(h_in, out_size);
+
+  // Horizontal pass: (h_in, out_size, c). PIL's 8-bit path rounds and
+  // clamps to uint8 after each pass; match it so near-binary masks agree.
+  std::vector<float> tmp(size_t(h_in) * out_size * c);
+  for (int y = 0; y < h_in; y++) {
+    const float* row = in.data() + size_t(y) * w_in * c;
+    float* trow = tmp.data() + size_t(y) * out_size * c;
+    for (int i = 0; i < out_size; i++) {
+      const double* wts = tx.weights.data() + size_t(i) * tx.max_taps;
+      for (int ch = 0; ch < c; ch++) {
+        double acc = 0.0;
+        for (int k = 0; k < tx.count[i]; k++)
+          acc += wts[k] * row[(tx.xmin[i] + k) * c + ch];
+        double r = std::round(acc);
+        trow[i * c + ch] = float(r < 0.0 ? 0.0 : (r > 255.0 ? 255.0 : r));
+      }
+    }
+  }
+  // Vertical pass: (out_size, out_size, c)
+  out->assign(size_t(out_size) * out_size * c, 0.f);
+  for (int i = 0; i < out_size; i++) {
+    const double* wts = ty.weights.data() + size_t(i) * ty.max_taps;
+    float* orow = out->data() + size_t(i) * out_size * c;
+    for (int k = 0; k < ty.count[i]; k++) {
+      const float* trow = tmp.data() + size_t(ty.xmin[i] + k) * out_size * c;
+      double w = wts[k];
+      for (int j = 0; j < out_size * c; j++) orow[j] += float(w * trow[j]);
+    }
+  }
+}
+
+int load_one(const char* path, int size, bool gray, float* out) {
+  Image img;
+  if (!decode_file(path, &img)) return 1;
+
+  int c = gray ? 1 : 3;
+  std::vector<float> buf(size_t(img.w) * img.h * c);
+  if (gray) {
+    if (img.c == 1) {
+      for (size_t i = 0; i < buf.size(); i++) buf[i] = img.data[i];
+    } else {
+      for (size_t i = 0; i < size_t(img.w) * img.h; i++)
+        buf[i] = to_gray(img.data[i * 3], img.data[i * 3 + 1], img.data[i * 3 + 2]);
+    }
+  } else {
+    if (img.c == 3) {
+      for (size_t i = 0; i < buf.size(); i++) buf[i] = img.data[i];
+    } else {
+      for (size_t i = 0; i < size_t(img.w) * img.h; i++)
+        buf[i * 3] = buf[i * 3 + 1] = buf[i * 3 + 2] = img.data[i];
+    }
+  }
+
+  std::vector<float> resized;
+  resize_bicubic(buf, img.w, img.h, c, size, &resized);
+  for (size_t i = 0; i < resized.size(); i++) {
+    double v = std::round(resized[i]);  // final uint8 rounding, like PIL
+    v = v < 0.0 ? 0.0 : (v > 255.0 ? 255.0 : v);
+    out[i] = float(v) / 255.0f;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + resize one image. out must hold size*size*(gray?1:3) floats.
+// Returns 0 on success.
+int cmt_load_image(const char* path, int size, int gray, float* out) {
+  return load_one(path, size, gray != 0, out);
+}
+
+// Threaded batch load. paths: array of n C strings. out: contiguous
+// (n, size, size, c). status: per-image 0/1. Returns count of failures.
+int cmt_load_batch(const char** paths, int n, int size, int gray,
+                   float* out, int* status, int n_threads) {
+  int c = gray ? 1 : 3;
+  size_t stride = size_t(size) * size * c;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = load_one(paths[i], size, gray != 0, out + stride * i);
+      status[i] = rc;
+      if (rc) failures.fetch_add(1);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
+}
+
+}  // extern "C"

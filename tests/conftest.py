@@ -1,15 +1,22 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh so the
-multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4).
+"""Test configuration.
 
-Must set env vars before jax is imported anywhere.
+Tests run on whatever backend JAX_PLATFORMS selects (the real TPU when
+available, CPU otherwise — set before jax import).  The multi-chip sharding
+tests (test_pipeline_e2e) always spawn a subprocess with JAX_PLATFORMS=cpu
+and --xla_force_host_platform_device_count=N, exactly how the driver
+validates dryrun_multichip without N real chips (SURVEY.md §4).
+
+Set FORCE_CPU_TESTS=1 to force the whole suite onto a virtual 8-device CPU
+platform.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("FORCE_CPU_TESTS") == "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
