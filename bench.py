@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 16
-WARMUP = 2
-ITERS = 8
+WARMUP = 5
+ITERS = 50
 IMAGE_SIZE = 256
 N_SEGMENTS = 500
 REFERENCE_SECONDS_PER_IMAGE = 2.2161  # reference embedding_summary.json
@@ -64,34 +64,71 @@ def main():
     fusion_vars = fusion_model.init(rng, jnp.zeros((1, K, 128)), jnp.zeros((1, 13, 128)))
     kg = jax.random.normal(rng, (13, 128))
 
-    images = jnp.asarray(_load_images(BATCH))
+    # Two distinct batches, alternated, so no call can reuse a cached result.
+    raw = _load_images(2 * BATCH)
+    if raw.shape[0] < 2 * BATCH:
+        raw = np.concatenate([raw] * (2 * BATCH // max(raw.shape[0], 1) + 1))[: 2 * BATCH]
+    batches = [jnp.asarray(raw[:BATCH]), jnp.asarray(raw[BATCH:2 * BATCH])]
 
-    def run():
-        out = pipe(rg_vars, fusion_vars, images, kg)
+    def run(i):
+        out = pipe(rg_vars, fusion_vars, batches[i % 2], kg)
         out["heatmap"].block_until_ready()
         return out
 
-    for _ in range(WARMUP):
-        run()
+    for i in range(WARMUP):
+        run(i)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        run()
-    dt = time.perf_counter() - t0
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        run(i)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
 
-    imgs_per_sec = BATCH * ITERS / dt
-    p50_latency_ms = (dt / ITERS) / BATCH * 1000.0
+    imgs_per_sec = BATCH / med
+    p50_latency_ms = med / BATCH * 1000.0
     baseline_imgs_per_sec = 1.0 / REFERENCE_SECONDS_PER_IMAGE
 
-    print(json.dumps({
+    # Host-decode-inclusive number (the reference's 2.216 s/image included
+    # its PIL decode): threaded native C++ decode feeding the device.
+    decode_imgs_per_sec = None
+    try:
+        import glob as _glob
+
+        from camouflage_multimodal_tpu import native
+
+        paths = sorted(_glob.glob("/root/reference/data/COD10K/images/*.jpg"))[:BATCH]
+        if native.available() and paths:
+            # warm the uint8-input executable
+            warm, _ = native.load_batch(paths, IMAGE_SIZE)
+            warm_u8 = (warm * 255.0).round().astype(np.uint8)
+            pipe(rg_vars, fusion_vars, jnp.asarray(warm_u8), kg)["heatmap"].block_until_ready()
+            t0 = time.perf_counter()
+            n_done = 0
+            for i in range(4):
+                host_batch, ok = native.load_batch(paths, IMAGE_SIZE)
+                u8 = (host_batch * 255.0).round().astype(np.uint8)
+                out = pipe(rg_vars, fusion_vars, jnp.asarray(u8), kg)
+                out["heatmap"].block_until_ready()
+                n_done += len(paths)
+            decode_imgs_per_sec = n_done / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
+    result = {
         "metric": "images/sec/chip multimodal inference 256x256 (SLIC+features+RAG+GNN+fusion+heatmap)",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / baseline_imgs_per_sec, 2),
-        "p50_per_image_ms": round(p50_latency_ms, 2),
+        "p50_per_image_ms": round(p50_latency_ms, 3),
         "batch": BATCH,
         "backend": jax.default_backend(),
-    }))
+    }
+    if decode_imgs_per_sec is not None:
+        result["with_host_decode_imgs_per_sec"] = round(decode_imgs_per_sec, 2)
+        result["with_host_decode_vs_baseline"] = round(
+            decode_imgs_per_sec / baseline_imgs_per_sec, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -75,12 +75,25 @@ class CODSample:
 
 
 class CODDataset:
-    """Scans for complete image + 3-GT quadruples (train.py:32-42)."""
+    """Scans for complete image + 3-GT quadruples (train.py:32-42).
+
+    ``use_native=True`` routes batch decode through the C++ loader
+    (native/dataio.cpp): threaded libjpeg/libpng + PIL-parity bicubic —
+    the host-side feed path for the TPU pipeline.
+    """
 
     def __init__(self, img_dir: str, mask_dir: str, instance_dir: str,
-                 edge_dir: str, image_size: int = 256) -> None:
+                 edge_dir: str, image_size: int = 256,
+                 use_native: bool = False) -> None:
         self.img_dir = img_dir
         self.image_size = image_size
+        self.use_native = use_native
+        if use_native:
+            from camouflage_multimodal_tpu import native
+
+            if not native.available():
+                raise RuntimeError("native dataio unavailable; build native/ "
+                                   "or use use_native=False")
         all_images = sorted(
             f for f in os.listdir(img_dir) if f.lower().endswith(IMAGE_EXTS)
         )
@@ -114,6 +127,23 @@ class CODDataset:
         }
 
     def load_batch(self, indices) -> Dict[str, np.ndarray]:
+        if self.use_native:
+            from camouflage_multimodal_tpu import native
+
+            samples = [self.samples[i] for i in indices]
+            images, ok_i = native.load_batch([s.image_path for s in samples],
+                                             self.image_size)
+            masks, ok_m = native.load_batch([s.mask_path for s in samples],
+                                            self.image_size, gray=True)
+            insts, ok_n = native.load_batch([s.instance_path for s in samples],
+                                            self.image_size, gray=True)
+            edges, ok_e = native.load_batch([s.edge_path for s in samples],
+                                            self.image_size, gray=True)
+            if (ok_i & ok_m & ok_n & ok_e).all():
+                return {"image": images, "mask": masks, "instance": insts,
+                        "edge": edges,
+                        "image_name": [s.image_name for s in samples]}
+            # fall through to the PIL path on any decode failure
         items = [self.load(i) for i in indices]
         return {
             "image": np.stack([it["image"] for it in items]),

@@ -32,11 +32,16 @@ from camouflage_multimodal_tpu.ops.graph import masked_mean_pool
 
 
 class _MHA(nn.Module):
-    """flax wrapper holding torch-layout MHA parameters."""
+    """flax wrapper holding torch-layout MHA parameters.
+
+    ``use_pallas=True`` routes deterministic (inference) calls through the
+    fused Pallas kernel (ops/pallas_attention.py); training keeps the jnp
+    path for autodiff + attention dropout."""
 
     embed_dim: int
     num_heads: int
     dropout: float
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, key_mask, deterministic: bool):
@@ -51,6 +56,16 @@ class _MHA(nn.Module):
             "bv": self.param("bv", nn.initializers.zeros, (self.embed_dim,)),
             "bo": self.param("bo", nn.initializers.zeros, (self.embed_dim,)),
         }
+        if self.use_pallas and deterministic:
+            from camouflage_multimodal_tpu.ops.pallas_attention import (
+                pallas_multihead_attention,
+            )
+
+            mask = key_mask
+            if mask is None:
+                mask = jnp.ones(k.shape[:2], dtype=bool)
+            return pallas_multihead_attention(params, q, k, v, self.num_heads,
+                                              key_mask=mask)
         rng = None
         rate = 0.0
         if not deterministic and self.dropout > 0:
@@ -78,6 +93,7 @@ class CrossAttentionFusion(nn.Module):
     hidden_dim: int = 256
     num_heads: int = 8
     dropout: float = 0.3
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, rg, kg, rg_mask=None, kg_mask=None, train: bool = False):
@@ -100,12 +116,14 @@ class CrossAttentionFusion(nn.Module):
         kg_proj = kg if self.kg_dim == self.hidden_dim else nn.Dense(self.hidden_dim, name="kg_proj")(kg)
 
         rg_att, w_rg2kg = _MHA(self.hidden_dim, self.num_heads, self.dropout,
+                               use_pallas=self.use_pallas,
                                name="cross_attn_rg2kg")(rg_proj, kg_proj, kg_proj,
                                                         kg_mask, deterministic)
         rg_att = nn.LayerNorm(name="ln_rg")(rg_proj + rg_att)
         rg_att = rg_att + _FFN(self.hidden_dim, self.dropout, name="ffn_rg")(rg_att, deterministic)
 
         kg_att, w_kg2rg = _MHA(self.hidden_dim, self.num_heads, self.dropout,
+                               use_pallas=self.use_pallas,
                                name="cross_attn_kg2rg")(kg_proj, rg_proj, rg_proj,
                                                         rg_mask, deterministic)
         kg_att = nn.LayerNorm(name="ln_kg")(kg_proj + kg_att)
@@ -154,13 +172,15 @@ class MultimodalCamouflageDetector(nn.Module):
     fusion_type: str = "cross_attention"
     num_classes: int = 2
     dropout: float = 0.3
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, rg, kg, rg_mask=None, kg_mask=None, train: bool = False,
                  return_attention: bool = False):
         if self.fusion_type == "cross_attention":
             fusion = CrossAttentionFusion(self.rg_dim, self.kg_dim, self.hidden_dim,
-                                          self.num_heads, self.dropout, name="fusion")
+                                          self.num_heads, self.dropout,
+                                          use_pallas=self.use_pallas, name="fusion")
             final_dim = self.hidden_dim
         elif self.fusion_type == "late":
             fusion = LateFusion(self.rg_dim, self.kg_dim, self.hidden_dim,
@@ -200,4 +220,5 @@ def build_multimodal_model(config: Dict[str, Any]) -> MultimodalCamouflageDetect
         fusion_type=config.get("fusion_type", "cross_attention"),
         num_classes=config.get("num_classes", 2),
         dropout=config.get("dropout", 0.3),
+        use_pallas=config.get("use_pallas", False),
     )

@@ -54,6 +54,12 @@ def build_region_graphs(images: jnp.ndarray, n_segments: int = 500,
     program, batched over B.
     """
 
+    # uint8 input is accepted and normalized on device — ship 1 byte/channel
+    # over the host link instead of 4 (the transfer, not the compute, is the
+    # bottleneck on tunneled hosts).
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+
     def one(img):
         seg = slic(img, n_segments=n_segments, num_iters=slic_iters)
         edges = canny(rgb_to_gray(img), sigma=2.0)

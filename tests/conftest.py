@@ -12,6 +12,11 @@ platform.
 
 import os
 
+# Persistent XLA compilation cache: repeat test runs skip the 20-40s
+# compiles of the big pipeline programs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 if os.environ.get("FORCE_CPU_TESTS") == "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     _flags = os.environ.get("XLA_FLAGS", "")

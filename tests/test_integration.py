@@ -1,0 +1,170 @@
+"""Full-workflow integration test on real COD10K data (tiny subsets):
+
+RG extraction → embedding store → KG store/trainer → category embeddings →
+matcher → fusion dataset/trainer → multimodal predictor → detect API.
+Mirrors the reference's end-to-end usage (SURVEY.md §3 call stacks).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+N_IMAGES = 6
+IMG_SIZE = 96
+N_SEG = 64
+MAX_NODES = 128
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+@pytest.fixture(scope="module")
+def rg_setup(workdir):
+    """Random-weight RG model + pipeline + checkpoint."""
+    from camouflage_multimodal_tpu.core.checkpoint import save_checkpoint
+    from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
+    from camouflage_multimodal_tpu.pipeline import RegionGraphPipeline
+
+    model = RegionGraphGNN()
+    pipe = RegionGraphPipeline(model, n_segments=N_SEG, image_size=IMG_SIZE,
+                               max_nodes=MAX_NODES, slic_iters=4)
+    K = MAX_NODES
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, K, 15)),
+                           jnp.zeros((1, K, K), bool), jnp.zeros((1, K, K)),
+                           jnp.ones((1, K), bool))
+    ckpt = str(workdir / "rg_model.ckpt")
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"],
+                           "model_config": {}})
+    return model, pipe, variables, ckpt
+
+
+@pytest.fixture(scope="module")
+def rg_store(workdir, rg_setup):
+    from camouflage_multimodal_tpu.extract import batch_extract_embeddings
+
+    _, pipe, variables, _ = rg_setup
+    img_dir = os.path.join(REF, "data/COD10K/images")
+    if not os.path.isdir(img_dir):
+        pytest.skip("reference data unavailable")
+    out_dir = str(workdir / "rg_embeddings")
+    store, summary = batch_extract_embeddings(pipe, variables, img_dir, out_dir,
+                                              max_images=N_IMAGES, batch_size=3,
+                                              log_fn=lambda *_: None)
+    assert summary["processing_time"]["successful_images"] == N_IMAGES
+    return os.path.join(out_dir, "all_rg_embeddings.npz")
+
+
+@pytest.fixture(scope="module")
+def kg_store_path(workdir):
+    from camouflage_multimodal_tpu.core.artifacts import save_kg_embeddings
+    from camouflage_multimodal_tpu.kg.store import CamouflageKnowledgeStore
+    from camouflage_multimodal_tpu.train.train_kg import KGTrainer, create_dataset_from_store
+
+    annot = os.path.join(REF, "models/knowledge_graph/annotations")
+    if not os.path.isdir(annot):
+        pytest.skip("annotations unavailable")
+    store = CamouflageKnowledgeStore()
+    store.ingest_directory(annot, max_files=150)
+    trainer = KGTrainer(max_nodes=64)
+    subgraphs = create_dataset_from_store(store, limit_per_category=8)
+    state, _ = trainer.fit(subgraphs, epochs=2, batch_size=16,
+                           checkpoint_path=None, log_fn=lambda *_: None)
+    embeddings, _ = trainer.batch_extract_embeddings(state, store, limit=5)
+    path = str(workdir / "all_embeddings.npz")
+    save_kg_embeddings(path, embeddings)
+    return path
+
+
+def test_rg_embedding_store_roundtrip(rg_store):
+    from camouflage_multimodal_tpu.core.artifacts import load_rg_embeddings
+
+    store = load_rg_embeddings(rg_store)
+    assert len(store) == N_IMAGES
+    for name, rec in store.items():
+        assert rec["node_embeddings"].shape[1] == 128
+        assert rec["graph_embedding"].shape == (1, 128)
+        assert rec["num_nodes"] > 10
+
+
+def test_matcher_and_fusion_training(rg_store, kg_store_path, workdir):
+    from camouflage_multimodal_tpu.data.matcher import EmbeddingMatcher
+    from camouflage_multimodal_tpu.train.train_fusion import FusionDataset, FusionTrainer
+
+    matcher = EmbeddingMatcher(rg_store, kg_store_path)
+    matched = matcher.create_matched_dataset(use_all_kg_categories=True)
+    assert len(matched) == N_IMAGES
+    n_kg = matched[0]["kg_embeddings"].shape[0]
+    assert n_kg == len(matcher.kg_embeddings)
+
+    dataset = FusionDataset(matched, os.path.join(REF, "data/COD10K/gt_object"),
+                            os.path.join(REF, "data/COD10K/gt_instance"),
+                            os.path.join(REF, "data/COD10K/gt_edge"),
+                            max_rg_nodes=MAX_NODES, augment=True)
+    assert len(dataset) == N_IMAGES
+    weights = dataset.get_aggressive_sample_weights()
+    assert len(weights) == N_IMAGES and all(w > 0 for w in weights)
+
+    trainer = FusionTrainer(model_config={"hidden_dim": 64, "num_heads": 4})
+    ckpt_dir = str(workdir / "ckpts")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state, history = trainer.fit(dataset, epochs=2, batch_size=3,
+                                 checkpoint_dir=ckpt_dir, log_fn=lambda *_: None)
+    assert len(history["train_loss"]) == 2
+    assert os.path.exists(os.path.join(ckpt_dir, "training_history_fixed.json"))
+
+
+def test_matcher_single_category_mode(rg_store, kg_store_path):
+    from camouflage_multimodal_tpu.data.matcher import EmbeddingMatcher
+
+    matcher = EmbeddingMatcher(rg_store, kg_store_path)
+    matched = matcher.create_matched_dataset(use_all_kg_categories=False)
+    for rec in matched:
+        assert rec["kg_embeddings"].shape[0] == 1  # single or mean fallback
+
+
+def test_detect_api(rg_setup, workdir, sample_image_paths):
+    from camouflage_multimodal_tpu.api import detect_camouflage
+    from camouflage_multimodal_tpu.pipeline import RegionGraphPipeline
+
+    model, pipe, variables, ckpt = rg_setup
+    base = os.path.splitext(os.path.basename(sample_image_paths[0]))[0]
+    gt = os.path.join(REF, "data/COD10K/gt_object", base + ".png")
+    heatmap, mean_score, classification, metrics = detect_camouflage(
+        sample_image_paths[0], ckpt, output_dir=str(workdir / "results"),
+        mask_path=gt, n_segments=N_SEG, pipeline=pipe, variables=variables)
+    assert heatmap.shape == (IMG_SIZE, IMG_SIZE)
+    assert classification in ("HIGHLY CAMOUFLAGED", "MODERATELY CAMOUFLAGED",
+                              "SLIGHTLY CAMOUFLAGED", "NOT CAMOUFLAGED")
+    assert metrics is not None and 0.0 <= metrics["iou"] <= 1.0
+    assert os.path.exists(str(workdir / "results" / f"detection_{os.path.basename(sample_image_paths[0])}"))
+
+
+def test_native_loader_matches_pil(sample_image_paths):
+    from camouflage_multimodal_tpu import native
+    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb, load_mask
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    p = sample_image_paths[0]
+    a = native.load_image(p, 256)
+    b = load_image_rgb(p, 256)
+    assert np.abs(a - b).max() <= 2.0 / 255.0  # JPEG IDCT rounding tolerance
+
+    base = os.path.splitext(os.path.basename(p))[0]
+    gt = os.path.join(REF, "data/COD10K/gt_object", base + ".png")
+    if os.path.exists(gt):
+        am = native.load_image(gt, 256, gray=True)
+        bm = load_mask(gt, 256)
+        np.testing.assert_allclose(am, bm, atol=1.0 / 255.0)
+
+    batch, ok = native.load_batch(sample_image_paths[:2], 128)
+    assert batch.shape == (2, 128, 128, 3) and ok.all()

@@ -1,0 +1,51 @@
+"""Pallas fused-attention kernel parity with the jnp reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from camouflage_multimodal_tpu.ops.attention import init_mha_params, multihead_attention
+from camouflage_multimodal_tpu.ops.pallas_attention import pallas_multihead_attention
+
+
+@pytest.mark.parametrize("nq,nk", [(512, 16), (64, 13)])
+def test_pallas_attention_matches_jnp(rng, nq, nk):
+    B, E, H = 2, 256, 8
+    q = jnp.asarray(rng.standard_normal((B, nq, E)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, nk, E)).astype(np.float32))
+    mask = jnp.asarray(np.arange(nk)[None, :] < np.array([[nk - 3], [nk]]))
+    params = init_mha_params(jax.random.PRNGKey(0), E)
+
+    ref_out, ref_p = multihead_attention(params, q, k, k, H, key_mask=mask)
+    interpret = jax.default_backend() != "tpu"
+    got_out, got_p = pallas_multihead_attention(params, q, k, k, H,
+                                                key_mask=mask, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_fusion_model_pallas_flag_matches(rng):
+    """MultimodalCamouflageDetector(use_pallas=True) must agree with the jnp
+    path at inference."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled Pallas path needs TPU (jnp path covers CPU)")
+    from camouflage_multimodal_tpu.models.fusion import MultimodalCamouflageDetector
+
+    B, Nrg, Nkg = 2, 64, 13
+    rg = jnp.asarray(rng.standard_normal((B, Nrg, 128)).astype(np.float32))
+    kg = jnp.asarray(rng.standard_normal((B, Nkg, 128)).astype(np.float32))
+    ref_model = MultimodalCamouflageDetector()
+    pal_model = MultimodalCamouflageDetector(use_pallas=True)
+    variables = ref_model.init(jax.random.PRNGKey(0), rg, kg)
+    ref = ref_model.apply(variables, rg, kg, return_attention=True)
+    got = pal_model.apply(variables, rg, kg, return_attention=True)
+    for k_ in ("mask_logits", "instance_logits", "edge_logits", "score"):
+        np.testing.assert_allclose(np.asarray(got[k_]), np.asarray(ref[k_]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k_)
+    np.testing.assert_allclose(np.asarray(got["attention"]["rg2kg"]),
+                               np.asarray(ref["attention"]["rg2kg"]),
+                               rtol=1e-3, atol=2e-3)
