@@ -37,9 +37,10 @@ def _mha_kernel(num_heads: int, q_ref, k_ref, v_ref, mask_ref,
     hd = E // num_heads
     scale = 1.0 / (hd ** 0.5)
 
-    q = jnp.dot(q_ref[:], wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[:]
-    k = jnp.dot(k_ref[:], wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[:]
-    v = jnp.dot(v_ref[:], wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
+    hi = jax.lax.Precision.HIGHEST  # keep f32 MXU passes: parity with the jnp path
+    q = jnp.dot(q_ref[:], wq_ref[:], preferred_element_type=jnp.float32, precision=hi) + bq_ref[:]
+    k = jnp.dot(k_ref[:], wk_ref[:], preferred_element_type=jnp.float32, precision=hi) + bk_ref[:]
+    v = jnp.dot(v_ref[:], wv_ref[:], preferred_element_type=jnp.float32, precision=hi) + bv_ref[:]
 
     key_valid = mask_ref[0, :]  # (Nk,)
     probs_acc = jnp.zeros((Nq, Nk), jnp.float32)
@@ -50,17 +51,20 @@ def _mha_kernel(num_heads: int, q_ref, k_ref, v_ref, mask_ref,
         kh = k[:, h * hd:(h + 1) * hd]
         vh = v[:, h * hd:(h + 1) * hd]
         logits = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (Nq, Nk)
         logits = jnp.where(key_valid[None, :], logits, _NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         probs_acc = probs_acc + p
-        ctx_heads.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
+        ctx_heads.append(jnp.dot(p, vh, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST))
 
     ctx = jnp.concatenate(ctx_heads, axis=-1)
-    out_ref[:] = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    out_ref[:] = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) + bo_ref[:]
     probs_ref[:] = probs_acc / num_heads
 
 

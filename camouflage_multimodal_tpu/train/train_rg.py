@@ -138,20 +138,48 @@ class RGTrainer:
         state = self.init_state(jax.random.PRNGKey(seed))
         dropout_key = jax.random.PRNGKey(seed + 1)
 
+        # Graph building is deterministic, so build each image's graph ONCE
+        # on device and cache host-side (~1.3 MB/image at K=512); epochs then
+        # shuffle over cached graphs. The reference re-ran SLIC + the feature
+        # loop per epoch inside DataLoader workers.
         graph_cache: Dict[int, Any] = {}
 
+        def ensure_cached(indices):
+            missing = [i for i in indices if i not in graph_cache]
+            for j in range(0, len(missing), batch_size):
+                chunk = missing[j: j + batch_size]
+                pad = batch_size - len(chunk)
+                load = list(chunk) + [chunk[-1]] * pad  # pad to stable shape
+                raw = dataset.load_batch(load)
+                batch, labels = self.build_graphs(
+                    raw["image"], raw["mask"], raw["instance"], raw["edge"]
+                )
+                hb, hl = jax.device_get(batch), jax.device_get(labels)
+                for bi, idx in enumerate(chunk):
+                    graph_cache[idx] = (
+                        {f: getattr(hb, f)[bi] for f in hb._fields},
+                        {k: v[bi] for k, v in hl.items()},
+                    )
+
+        def assemble(chunk):
+            fields = {}
+            for f in ("features", "adjacency", "edge_weights", "node_mask"):
+                fields[f] = np.stack([graph_cache[i][0][f] for i in chunk])
+            labels = {}
+            for k in ("mask_labels", "instance_labels", "edge_labels"):
+                labels[k] = np.stack([graph_cache[i][1][k] for i in chunk])
+            return fields, labels
+
         def batches(indices, shuffle):
-            order = rng.permutation(indices) if shuffle else indices
+            ensure_cached(list(indices))
+            order = rng.permutation(indices) if shuffle else np.asarray(indices)
             for i in range(0, len(order), batch_size):
                 chunk = order[i: i + batch_size]
-                key = tuple(sorted(chunk))
-                if key not in graph_cache:
-                    raw = dataset.load_batch(chunk)
-                    batch, labels = self.build_graphs(
-                        raw["image"], raw["mask"], raw["instance"], raw["edge"]
-                    )
-                    graph_cache[key] = (jax.device_get(batch), jax.device_get(labels))
-                yield graph_cache[key]
+                if len(chunk) < batch_size:
+                    if len(order) >= batch_size:
+                        chunk = order[-batch_size:]  # full-size tail window
+                    # else: tiny dataset — accept one smaller-shape compile
+                yield assemble(chunk)
 
         history: Dict[str, List[float]] = {"train_loss": [], "val_loss": [],
                                            "train_acc_mask": [], "val_acc_mask": []}
@@ -159,20 +187,25 @@ class RGTrainer:
         for epoch in range(epochs):
             lr = self.lr_at_epoch(epoch)
             tr_metrics = []
-            for batch, labels in batches(train_idx, shuffle=False):
+            for fields, labels in batches(train_idx, shuffle=True):
                 dropout_key, sub = jax.random.split(dropout_key)
                 state, m = self._train_step(
-                    state, batch.features, batch.adjacency, batch.edge_weights,
-                    batch.node_mask,
+                    state, jnp.asarray(fields["features"]),
+                    jnp.asarray(fields["adjacency"]),
+                    jnp.asarray(fields["edge_weights"]),
+                    jnp.asarray(fields["node_mask"]),
                     {k: jnp.asarray(v) for k, v in labels.items()},
                     jnp.asarray(lr, jnp.float32), sub,
                 )
                 tr_metrics.append(jax.device_get(m))
             va_metrics = []
-            for batch, labels in batches(val_idx, shuffle=False):
+            for fields, labels in batches(val_idx, shuffle=False):
                 m = self._eval_step(
-                    state, batch.features, batch.adjacency, batch.edge_weights,
-                    batch.node_mask, {k: jnp.asarray(v) for k, v in labels.items()},
+                    state, jnp.asarray(fields["features"]),
+                    jnp.asarray(fields["adjacency"]),
+                    jnp.asarray(fields["edge_weights"]),
+                    jnp.asarray(fields["node_mask"]),
+                    {k: jnp.asarray(v) for k, v in labels.items()},
                 )
                 va_metrics.append(jax.device_get(m))
 

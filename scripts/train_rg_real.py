@@ -1,0 +1,84 @@
+"""Train the region-graph GNN on real COD10K data end-to-end on the TPU.
+
+Produces artifacts/rg_model.ckpt + a metrics report over a held-out split —
+the real counterpart of the reference's `python models/region_graph/train.py`
+run, exercising the full device pipeline (SLIC→features→RAG→GNN→multi-task
+loss) with cached graph building.
+
+Usage: python scripts/train_rg_real.py [--images N] [--epochs E]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--images", type=int, default=256)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--image-size", type=int, default=256)
+    parser.add_argument("--n-segments", type=int, default=500)
+    parser.add_argument("--data-root", default="/root/reference/data/COD10K")
+    parser.add_argument("--out", default="artifacts")
+    args = parser.parse_args()
+
+    import jax
+
+    from camouflage_multimodal_tpu.api import evaluate_directory
+    from camouflage_multimodal_tpu.data.cod10k import CODDataset
+    from camouflage_multimodal_tpu.pipeline import padded_nodes
+    from camouflage_multimodal_tpu.train.train_rg import RGTrainer
+
+    os.makedirs(args.out, exist_ok=True)
+
+    ds_full = CODDataset(
+        os.path.join(args.data_root, "images"),
+        os.path.join(args.data_root, "gt_object"),
+        os.path.join(args.data_root, "gt_instance"),
+        os.path.join(args.data_root, "gt_edge"),
+        image_size=args.image_size,
+    )
+    ds_full.samples = ds_full.samples[: args.images]
+    print(f"dataset: {len(ds_full)} quadruples  backend={jax.default_backend()}")
+
+    max_nodes = padded_nodes(args.n_segments, args.image_size)
+    trainer = RGTrainer(n_segments=args.n_segments, max_nodes=max_nodes,
+                        learning_rate=1e-3, weight_decay=1e-4)
+
+    ckpt = os.path.join(args.out, "rg_model.ckpt")
+    t0 = time.time()
+    state, history = trainer.fit(ds_full, epochs=args.epochs,
+                                 batch_size=args.batch_size,
+                                 checkpoint_path=ckpt)
+    train_time = time.time() - t0
+    print(f"training wall-clock: {train_time:.1f}s "
+          f"({train_time / args.epochs:.1f}s/epoch incl. one-time graph build)")
+
+    with open(os.path.join(args.out, "rg_training_history.json"), "w") as f:
+        json.dump(history, f, indent=2)
+
+    # Held-out eval with on-device metrics over images NOT in the train set.
+    print("evaluating on held-out images...")
+    metrics = evaluate_directory(
+        ckpt,
+        os.path.join(args.data_root, "images"),
+        os.path.join(args.data_root, "gt_object"),
+        n_segments=args.n_segments, batch_size=16,
+        max_images=args.images + 64,
+    )
+    with open(os.path.join(args.out, "rg_eval_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps({k: round(v, 4) for k, v in metrics.items()
+                      if not k.endswith("_std")}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
