@@ -101,10 +101,23 @@ class CrossAttentionFusion(nn.Module):
         singleton token axis (reference fusion_model.py:86-89). Masks default
         to all-valid. Returns (fused (B, hidden), {'rg2kg','kg2rg'})."""
         deterministic = not train
-        if rg.ndim == 2:
-            rg = rg[:, None, :]
-        if kg.ndim == 2:
-            kg = kg[:, None, :]
+
+        def collapse_to_3d(t):
+            """2D → add token axis; 4D → squeeze/merge (the reference's
+            accidental-4D shim, fusion_model.py:91-105)."""
+            if t.ndim == 2:
+                return t[:, None, :]
+            if t.ndim == 4:
+                b, a, c, d = t.shape
+                if a == 1:
+                    return t[:, 0]
+                if c == 1:
+                    return t[:, :, 0]
+                return t.reshape(b, a * c, d)
+            return t
+
+        rg = collapse_to_3d(rg)
+        kg = collapse_to_3d(kg)
         B, Nrg, _ = rg.shape
         Nkg = kg.shape[1]
         if rg_mask is None:

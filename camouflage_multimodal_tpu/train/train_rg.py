@@ -139,9 +139,10 @@ class RGTrainer:
         dropout_key = jax.random.PRNGKey(seed + 1)
 
         # Graph building is deterministic, so build each image's graph ONCE
-        # on device and cache host-side (~1.3 MB/image at K=512); epochs then
-        # shuffle over cached graphs. The reference re-ran SLIC + the feature
-        # loop per epoch inside DataLoader workers.
+        # and cache it ON DEVICE (~1.3 MB/image at K=512; 6000 images ≈ 8 GB
+        # HBM); epochs then shuffle over device-resident graphs with zero
+        # host↔device traffic per step. The reference re-ran SLIC + the
+        # feature loop per epoch inside DataLoader workers.
         graph_cache: Dict[int, Any] = {}
 
         def ensure_cached(indices):
@@ -154,20 +155,19 @@ class RGTrainer:
                 batch, labels = self.build_graphs(
                     raw["image"], raw["mask"], raw["instance"], raw["edge"]
                 )
-                hb, hl = jax.device_get(batch), jax.device_get(labels)
                 for bi, idx in enumerate(chunk):
                     graph_cache[idx] = (
-                        {f: getattr(hb, f)[bi] for f in hb._fields},
-                        {k: v[bi] for k, v in hl.items()},
+                        {f: getattr(batch, f)[bi] for f in batch._fields},
+                        {k: v[bi] for k, v in labels.items()},
                     )
 
         def assemble(chunk):
             fields = {}
             for f in ("features", "adjacency", "edge_weights", "node_mask"):
-                fields[f] = np.stack([graph_cache[i][0][f] for i in chunk])
+                fields[f] = jnp.stack([graph_cache[i][0][f] for i in chunk])
             labels = {}
             for k in ("mask_labels", "instance_labels", "edge_labels"):
-                labels[k] = np.stack([graph_cache[i][1][k] for i in chunk])
+                labels[k] = jnp.stack([graph_cache[i][1][k] for i in chunk])
             return fields, labels
 
         def batches(indices, shuffle):
