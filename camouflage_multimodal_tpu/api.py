@@ -71,7 +71,8 @@ def detect_camouflage(image_path: str, checkpoint_path: str,
         pipeline = RegionGraphPipeline(model, n_segments=n_segments)
 
     image = load_image_rgb(image_path, pipeline.image_size)
-    out = pipeline(variables, jnp.asarray(image[None]))
+    u8 = (image[None] * 255.0).round().astype(np.uint8)  # less link traffic
+    out = pipeline(variables, jnp.asarray(u8))
     heatmap = np.asarray(out["heatmap"][0])
     segments = np.asarray(out["segments"][0])
 
@@ -124,6 +125,8 @@ class MultimodalPredictor:
         self.kg_tensor = jnp.asarray(kg)
 
     def predict_batch(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        if images.dtype != np.uint8:
+            images = (np.asarray(images) * 255.0).round().astype(np.uint8)
         out = self.pipeline(self.rg_variables, self.fusion_variables,
                             jnp.asarray(images), self.kg_tensor)
         return jax.device_get(out)
@@ -249,7 +252,7 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
         if batch.shape[0] < batch_size and len(heatmaps) > 0:
             pad = batch_size - batch.shape[0]
             batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-        out = pipeline(variables, jnp.asarray(batch))
+        out = pipeline(variables, jnp.asarray((batch * 255.0).round().astype(np.uint8)))
         hm = np.asarray(out["heatmap"])
         heatmaps.append(hm[: len(imgs)])
         gts.append(np.stack(masks))

@@ -80,7 +80,8 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
                 failed.append((f, str(e)))
         if not images:
             continue
-        batch = np.stack(images)
+        # Ship uint8 (normalize-on-device): 4x less host-link traffic.
+        batch = (np.stack(images) * 255.0).round().astype(np.uint8)
         if batch.shape[0] < batch_size and i > 0:
             pad = batch_size - batch.shape[0]
             batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
@@ -88,7 +89,7 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
         node_mask = np.asarray(out["node_mask"])
         node_embs = np.asarray(out["node_embeddings"])
         graph_embs = np.asarray(out["graph_embedding"])
-        segments = np.asarray(out["segments"])
+        segments = np.asarray(out["segments"]) if save_individual else None
         for j, name in enumerate(names):
             node_emb = node_embs[j][node_mask[j]]
             graph_emb = graph_embs[j][None]
