@@ -82,6 +82,11 @@ def build_region_graphs_with_labels(
     thresholds (mask>0.5, instance>0.5, edge>0.3 — train.py:168-176)."""
     batch = build_region_graphs(images, n_segments, max_nodes, slic_iters)
 
+    def to01(x):
+        return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+
+    masks, instances, edges_gt = to01(masks), to01(instances), to01(edges_gt)
+
     def labels_one(seg, m, inst, e):
         stacked = jnp.stack([m, inst, e], axis=-1)
         means = region_label_means(stacked, seg, max_nodes)

@@ -53,10 +53,16 @@ def main():
     trainer = RGTrainer(n_segments=args.n_segments, max_nodes=max_nodes,
                         learning_rate=1e-3, weight_decay=1e-4)
 
+    import jax.numpy as jnp
+
+    # bf16 edge-weight storage halves the dominant HBM buffer for large runs
+    weights_dtype = jnp.bfloat16 if args.images > 1500 else jnp.float32
+
     ckpt = os.path.join(args.out, "rg_model.ckpt")
     t0 = time.time()
     state, history = trainer.fit(ds_full, epochs=args.epochs,
                                  batch_size=args.batch_size,
+                                 weights_dtype=weights_dtype,
                                  checkpoint_path=ckpt)
     train_time = time.time() - t0
     print(f"training wall-clock: {train_time:.1f}s "
