@@ -72,6 +72,75 @@ def load_image(path: str, size: int = 256, gray: bool = False) -> np.ndarray:
     return out.reshape((size, size) if gray else (size, size, 3))
 
 
+_graph_lib: Optional[ctypes.CDLL] = None
+_graph_tried = False
+
+
+def get_graph_lib() -> Optional[ctypes.CDLL]:
+    """libcmtgraph.so: CPU graph-builder (SLIC+Canny+features+RAG)."""
+    global _graph_lib, _graph_tried
+    if _graph_lib is not None or _graph_tried:
+        return _graph_lib
+    _graph_tried = True
+    so = os.path.join(_NATIVE_DIR, "libcmtgraph.so")
+    if not os.path.exists(so) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.cmt_build_region_graph.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.cmt_build_region_graph.restype = ctypes.c_int
+        _graph_lib = lib
+    except OSError:
+        _graph_lib = None
+    return _graph_lib
+
+
+def build_region_graph(image: np.ndarray, n_segments: int = 500,
+                       compactness: float = 10.0, sigma: float = 1.0,
+                       num_iters: int = 10, max_nodes: int = 512):
+    """CPU-native region-graph build (no-accelerator fallback of
+    pipeline.build_region_graphs). image: (H, W, 3) float32 in [0,1].
+
+    Returns dict: segments (H,W) i32, features (K,15) f32, node_mask (K,)
+    bool, edge_weights (K,K) f32, canny (H,W) bool."""
+    lib = get_graph_lib()
+    if lib is None:
+        raise RuntimeError("native graph builder unavailable")
+    image = np.ascontiguousarray(image, dtype=np.float32)
+    H, W, _ = image.shape
+    K = max_nodes
+    segments = np.empty((H, W), dtype=np.int32)
+    features = np.empty((K, 15), dtype=np.float32)
+    node_mask = np.empty(K, dtype=np.uint8)
+    weights = np.empty((K, K), dtype=np.float32)
+    edges = np.empty((H, W), dtype=np.uint8)
+    rc = lib.cmt_build_region_graph(
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), H, W,
+        n_segments, compactness, sigma, num_iters, K,
+        segments.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        features.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        node_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc < 0:
+        raise ValueError(f"max_nodes={K} too small for the SLIC grid")
+    return {
+        "segments": segments,
+        "features": features,
+        "node_mask": node_mask.astype(bool),
+        "edge_weights": weights,
+        "canny": edges.astype(bool),
+        "num_clusters": rc,
+    }
+
+
 def load_batch(paths: List[str], size: int = 256, gray: bool = False,
                n_threads: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """Threaded batch decode. Returns (batch (N,size,size[,3]), ok (N,) bool)."""
