@@ -148,7 +148,8 @@ def cmd_train_fusion(args):
     os.makedirs(cfg["checkpoint_dir"], exist_ok=True)
     trainer.fit(dataset, epochs=cfg["epochs"], batch_size=cfg["batch_size"],
                 train_split=cfg["train_split"], seed=cfg["seed"],
-                checkpoint_dir=cfg["checkpoint_dir"], config=cfg)
+                checkpoint_dir=cfg["checkpoint_dir"], config=cfg,
+                use_scan=bool(cfg.get("use_scan", len(dataset) >= 512)))
 
 
 def cmd_detect(args):

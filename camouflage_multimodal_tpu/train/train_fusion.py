@@ -197,11 +197,155 @@ class FusionTrainer:
         preds = jnp.argmax(out["mask_logits"], -1)
         return jnp.sum(per_ce), preds
 
-    def fit(self, dataset: FusionDataset, epochs: int = 30, batch_size: int = 4,
+    # ------------------------------------------------------------------
+    # Scan-based epochs (mirrors RGTrainer): the padded sample tensors live
+    # on device once; an epoch of oversampled batches is one lax.scan
+    # dispatch. Noise augmentation (train_multimodal.py:173-175) runs on
+    # device with the scan-carried PRNG.
+    # ------------------------------------------------------------------
+
+    def _device_dataset(self, dataset: "FusionDataset") -> Dict[str, jnp.ndarray]:
+        idx = list(range(len(dataset)))
+        cols = dataset.collate(idx)
+        return {k: jnp.asarray(v) for k, v in cols.items()}
+
+    def _epoch_impl(self, train: bool, augment: bool, state: TrainState,
+                    data, order, lr, key):
+        def step(carry, idx):
+            st, k = carry
+            k, k_flip, k1, k2, k_drop = jax.random.split(k, 5)
+            batch = {name: jnp.take(data[name], idx, axis=0)
+                     for name in ("rg", "rg_mask", "kg", "y", "edge", "score")}
+            if augment:
+                B = idx.shape[0]
+                flips = jax.random.uniform(k_flip, (B,)) > 0.5
+                rg_noise = jax.random.normal(k1, batch["rg"].shape) * 0.01
+                kg_noise = jax.random.normal(k2, batch["kg"].shape) * 0.01
+                batch["rg"] = batch["rg"] + rg_noise * flips[:, None, None]
+                batch["kg"] = batch["kg"] + kg_noise * flips[:, None, None]
+            if train:
+                st, loss, preds = self._train_step_impl(st, batch, lr, k_drop)
+            else:
+                loss, preds = self._eval_step_impl(st, batch)
+            return (st, k), (loss, preds, batch["y"])
+
+        (state, _), (losses, preds, ys) = jax.lax.scan(step, (state, key), order)
+        return state, losses, preds, ys
+
+    def fit(self, dataset: "FusionDataset", epochs: int = 30, batch_size: int = 4,
             train_split: float = 0.8, seed: int = 0,
             checkpoint_dir: Optional[str] = None, max_patience: int = 15,
-            config: Optional[Dict[str, Any]] = None,
+            config: Optional[Dict[str, Any]] = None, use_scan: bool = False,
             log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
+        if use_scan:
+            return self._fit_scan(dataset, epochs, batch_size, train_split, seed,
+                                  checkpoint_dir, max_patience, config, log_fn)
+        return self._fit_loop(dataset, epochs, batch_size, train_split, seed,
+                              checkpoint_dir, max_patience, config, log_fn)
+
+    def _fit_scan(self, dataset, epochs, batch_size, train_split, seed,
+                  checkpoint_dir, max_patience, config, log_fn):
+        import functools
+
+        rng = np.random.default_rng(seed)
+        n = len(dataset)
+        perm = rng.permutation(n)
+        n_train = int(train_split * n)
+        train_idx, val_idx = perm[:n_train], perm[n_train:]
+
+        weights = np.asarray(dataset.get_aggressive_sample_weights())
+        p = weights[train_idx] / weights[train_idx].sum()
+
+        first = dataset.samples[0]
+        state = self.init_state(
+            jax.random.PRNGKey(seed),
+            rg_dim=first["rg_node_embeddings"].shape[1],
+            n_kg=first["kg_embeddings"].shape[0],
+            max_rg_nodes=dataset.max_rg_nodes,
+        )
+        key = jax.random.PRNGKey(seed + 1)
+        data = self._device_dataset(dataset)
+
+        train_epoch = jax.jit(functools.partial(self._epoch_impl, True, True),
+                              donate_argnums=(0,))
+        eval_epoch = jax.jit(functools.partial(self._epoch_impl, False, False))
+
+        def order_of(indices):
+            steps = max(len(indices) // batch_size, 1)
+            cut = indices[: steps * batch_size]
+            return jnp.asarray(np.asarray(cut, np.int32).reshape(steps, -1))
+
+        history: Dict[str, List[float]] = {k: [] for k in (
+            "train_loss", "val_loss", "train_f1_class_0", "train_f1_class_1",
+            "train_f1_avg", "val_f1_class_0", "val_f1_class_1", "val_f1_avg",
+            "val_acc_0", "val_acc_1")}
+        best_f1 = 0.0
+        patience = 0
+        val_order = order_of(val_idx)
+
+        for epoch in range(epochs):
+            lr = cosine_warm_restarts(epoch, self.base_lr, T_0=10, T_mult=2)
+            sampled = rng.choice(train_idx, size=len(train_idx), replace=True, p=p)
+            key, sub = jax.random.split(key)
+            state, losses, preds, ys = train_epoch(
+                state, data, order_of(sampled), jnp.asarray(lr, jnp.float32), sub)
+            tr_preds = np.asarray(preds).reshape(-1)
+            tr_ys = np.asarray(ys).reshape(-1)
+            train_f1 = calculate_f1_score(tr_preds, tr_ys)
+            train_loss = float(np.sum(np.asarray(losses))) / max(len(tr_preds), 1)
+
+            _, vlosses, vpreds, vys = eval_epoch(
+                state, data, val_order, jnp.asarray(lr, jnp.float32), sub)
+            va_preds = np.asarray(vpreds).reshape(-1)
+            va_ys = np.asarray(vys).reshape(-1)
+            val_f1 = calculate_f1_score(va_preds, va_ys)
+            val_loss = float(np.sum(np.asarray(vlosses))) / max(len(va_preds), 1)
+
+            acc_0 = 100.0 * ((va_preds == va_ys) & (va_ys == 0)).sum() / max((va_ys == 0).sum(), 1)
+            acc_1 = 100.0 * ((va_preds == va_ys) & (va_ys == 1)).sum() / max((va_ys == 1).sum(), 1)
+
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            history["train_f1_class_0"].append(train_f1["f1_class_0"])
+            history["train_f1_class_1"].append(train_f1["f1_class_1"])
+            history["train_f1_avg"].append(train_f1["f1_avg"])
+            history["val_f1_class_0"].append(val_f1["f1_class_0"])
+            history["val_f1_class_1"].append(val_f1["f1_class_1"])
+            history["val_f1_avg"].append(val_f1["f1_avg"])
+            history["val_acc_0"].append(acc_0)
+            history["val_acc_1"].append(acc_1)
+            log_fn(f"Epoch {epoch + 1}/{epochs} Train: Loss={train_loss:.4f} "
+                   f"F1_C1={train_f1['f1_class_1']:.3f} | Val: Loss={val_loss:.4f} "
+                   f"F1_C1={val_f1['f1_class_1']:.3f} Acc0={acc_0:.1f}% Acc1={acc_1:.1f}%")
+
+            if val_f1["f1_class_1"] > best_f1:
+                best_f1 = val_f1["f1_class_1"]
+                patience = 0
+                if checkpoint_dir:
+                    save_checkpoint(os.path.join(checkpoint_dir, "multimodal_best_fixed.ckpt"), {
+                        "epoch": epoch, "params": state.params,
+                        "opt_state": state.opt_state, "val_loss": val_loss,
+                        "val_f1_class_1": val_f1["f1_class_1"],
+                        "val_f1_avg": val_f1["f1_avg"],
+                        "val_acc_0": acc_0, "val_acc_1": acc_1,
+                        "config": config or {},
+                    })
+            else:
+                patience += 1
+                if patience >= max_patience:
+                    log_fn(f"Early stopping after {patience} epochs")
+                    break
+
+        if checkpoint_dir:
+            with open(os.path.join(checkpoint_dir, "training_history_fixed.json"), "w") as f:
+                json.dump(history, f, indent=2)
+        return state, history
+
+    def _fit_loop(self, dataset: FusionDataset, epochs: int = 30, batch_size: int = 4,
+                  train_split: float = 0.8, seed: int = 0,
+                  checkpoint_dir: Optional[str] = None, max_patience: int = 15,
+                  config: Optional[Dict[str, Any]] = None,
+                  log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
         rng = np.random.default_rng(seed)
         n = len(dataset)
         perm = rng.permutation(n)

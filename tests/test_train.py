@@ -168,3 +168,34 @@ def test_kg_trainer_end_to_end_tiny():
         assert np.isfinite(emb).all()
     sims = compare_embeddings(embeddings)
     assert all(-1.0001 <= v <= 1.0001 for v in sims.values())
+
+
+def test_fusion_scan_trainer_synthetic(rng):
+    """Scan-based fusion epochs: mechanics + learning on separable data."""
+    from camouflage_multimodal_tpu.train.train_fusion import FusionDataset, FusionTrainer
+
+    n, K, nkg = 32, 16, 4
+    samples = []
+    for i in range(n):
+        label = i % 2
+        base = np.full((K, 128), 2.0 * label - 1.0, np.float32)
+        samples.append({
+            "image_name": f"x{i}.jpg",
+            "rg_node_embeddings": base + rng.standard_normal((K, 128)).astype(np.float32) * 0.1,
+            "kg_embeddings": rng.standard_normal((nkg, 128)).astype(np.float32),
+            "label": label, "confidence": 1.0,
+            "edge_label": float(label), "score_label": float(label),
+        })
+    ds = FusionDataset.__new__(FusionDataset)
+    ds.samples = samples
+    ds.max_rg_nodes = K
+    ds.augment = True
+    ds.rng = np.random.default_rng(0)
+
+    trainer = FusionTrainer(model_config={"hidden_dim": 64, "num_heads": 4},
+                            learning_rate=1e-3)
+    state, history = trainer.fit(ds, epochs=6, batch_size=8, use_scan=True,
+                                 log_fn=lambda *_: None)
+    assert len(history["train_loss"]) == 6
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert history["val_f1_avg"][-1] > 0.8  # separable → near-perfect
