@@ -25,7 +25,7 @@ import numpy as np
 
 from camouflage_multimodal_tpu.core.artifacts import load_kg_embeddings
 from camouflage_multimodal_tpu.core.checkpoint import load_checkpoint
-from camouflage_multimodal_tpu.data.cod10k import CODDataset, load_image_rgb, load_mask
+from camouflage_multimodal_tpu.data.cod10k import load_image_rgb, load_mask
 from camouflage_multimodal_tpu.data.matcher import build_ordered_kg_tensor
 from camouflage_multimodal_tpu.eval.metrics import batch_evaluate, evaluate_segmentation
 from camouflage_multimodal_tpu.models.fusion import build_multimodal_model

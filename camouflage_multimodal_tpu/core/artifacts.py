@@ -11,7 +11,7 @@ torch is importable so existing artifacts migrate transparently.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Dict
 
 import numpy as np
 

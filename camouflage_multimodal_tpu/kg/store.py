@@ -20,7 +20,7 @@ import json
 import logging
 import os
 import pickle
-from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
+from typing import Any, Dict, List, Optional, Set, Tuple
 
 from camouflage_multimodal_tpu.kg.normalize import extract_structured
 

@@ -21,7 +21,7 @@ With all nodes valid this reduces exactly to the reference computation
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

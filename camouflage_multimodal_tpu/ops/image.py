@@ -10,7 +10,6 @@ grayscale with the exact reference weights, separable Gaussian blur matching
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Shapes are static per (image_size, n_segments) pair: the SLIC grid gives
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

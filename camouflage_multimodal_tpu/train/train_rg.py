@@ -18,7 +18,7 @@ as the reference did.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
