@@ -9,10 +9,10 @@ split, best-val-loss checkpointing.
 
 TPU formulation: the graph building that the reference ran per-item in
 DataLoader workers (hot loop #1) runs on device inside
-:func:`build_region_graphs_with_labels`, and the train step is one jit over
-a real (B, K, ...) batch. Because graph construction is deterministic, built
-graphs are cached after the first epoch instead of being recomputed per epoch
-as the reference did.
+:func:`build_region_graphs_with_labels`. Graph construction is
+deterministic, so the whole dataset builds ONCE into device-resident arrays
+and each epoch is a single dispatched ``lax.scan`` over shuffled batch
+indices — the reference recomputed SLIC + features per item per epoch.
 """
 
 from __future__ import annotations
