@@ -260,3 +260,15 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
     preds = jnp.asarray(np.concatenate(heatmaps))
     gt = jnp.asarray(np.concatenate(gts))
     return {k: float(v) for k, v in batch_evaluate(preds, gt, threshold).items()}
+
+
+def visualize_prediction(image_path: str, predictions: Dict, attention_weights,
+                         kg_categories_ordered: Dict, output_path: str) -> None:
+    """Signature-parity wrapper of the reference's ``visualize_prediction``
+    (test_multimodal.py:156-308): renders the 8-panel multimodal figure."""
+    from camouflage_multimodal_tpu.viz import multimodal_panel
+
+    image = load_image_rgb(image_path)
+    multimodal_panel(image, predictions, attention_weights,
+                     kg_categories_ordered, output_path,
+                     os.path.basename(image_path))
