@@ -22,11 +22,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BATCH = 16
+import os as _os
+
+BATCH = int(_os.environ.get("BENCH_BATCH", 16))
 WARMUP = 5
-ITERS = 50
-IMAGE_SIZE = 256
-N_SEGMENTS = 500
+ITERS = int(_os.environ.get("BENCH_ITERS", 50))
+IMAGE_SIZE = int(_os.environ.get("BENCH_IMAGE_SIZE", 256))  # 352/416 per BASELINE configs
+N_SEGMENTS = int(_os.environ.get("BENCH_N_SEGMENTS", 500))
 REFERENCE_SECONDS_PER_IMAGE = 2.2161  # reference embedding_summary.json
 
 
@@ -116,7 +118,7 @@ def main():
         pass
 
     result = {
-        "metric": "images/sec/chip multimodal inference 256x256 (SLIC+features+RAG+GNN+fusion+heatmap)",
+        "metric": f"images/sec/chip multimodal inference {IMAGE_SIZE}x{IMAGE_SIZE} (SLIC+features+RAG+GNN+fusion+heatmap)",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / baseline_imgs_per_sec, 2),
