@@ -137,11 +137,14 @@ class MultimodalPredictor:
         image = load_image_rgb(image_path, self.rg_pipeline.image_size)
         out = self.predict_batch(image[None])
         node_mask = out["node_mask"][0]
-        attn = {
-            # masked mean over valid RG queries for the rg2kg display
-            "rg2kg": out["attention"]["rg2kg"][0][node_mask],
-            "kg2rg": out["attention"]["kg2rg"][0][:, node_mask],
-        }
+        if "attention" in out:
+            attn = {
+                # masked mean over valid RG queries for the rg2kg display
+                "rg2kg": out["attention"]["rg2kg"][0][node_mask],
+                "kg2rg": out["attention"]["kg2rg"][0][:, node_mask],
+            }
+        else:
+            attn = None  # late fusion exposes no attention maps
         predictions = {
             "mask_logits": out["mask_logits"][0],
             "mask_prob": out["mask_prob"][0],
@@ -213,7 +216,8 @@ def test_image_directory(predictor: MultimodalPredictor, image_dir: str,
                     "score": float(out["score"][j, 0]),
                     "segments": out["segments"][j],
                 }
-                attn = {"rg2kg": out["attention"]["rg2kg"][j][node_mask]}
+                attn = ({"rg2kg": out["attention"]["rg2kg"][j][node_mask]}
+                        if "attention" in out else None)
                 multimodal_panel(images[j], predictions, attn, predictor.kg_ordered,
                                  os.path.join(output_dir, f"pred_{f}"), f)
 

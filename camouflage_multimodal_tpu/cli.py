@@ -178,7 +178,8 @@ def cmd_test_multimodal(args):
         print(f"Camouflaged Prob: {predictions['mask_prob'][1]:.2%}")
         print(f"Score: {predictions['score']:.3f}")
         image = load_image_rgb(args.image)
-        multimodal_panel(image, predictions, {"rg2kg": attn["rg2kg"]}, kg_ordered,
+        multimodal_panel(image, predictions,
+                         {"rg2kg": attn["rg2kg"]} if attn else None, kg_ordered,
                          os.path.join(args.output,
                                       f"prediction_{os.path.basename(args.image)}"),
                          os.path.basename(args.image))

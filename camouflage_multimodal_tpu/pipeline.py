@@ -171,6 +171,8 @@ class MultimodalPipeline:
             fusion_variables, rg_out["node_embeddings"], kg,
             rg_mask=rg_out["node_mask"], return_attention=True,
         )
+        if out.get("attention") is None:
+            out.pop("attention", None)  # late fusion exposes no attention maps
         out["mask_prob"] = jax.nn.softmax(out["mask_logits"], axis=-1)
         out["instance_prob"] = jax.nn.softmax(out["instance_logits"], axis=-1)
         out["edge_prob"] = jax.nn.sigmoid(out["edge_logits"])
