@@ -122,3 +122,36 @@ def test_dryrun_multichip_8_devices():
 
 def test_dryrun_multichip_2_devices():
     _run_dryrun_subprocess(2)
+
+
+def test_multimodal_pipeline_late_fusion(rng, sample_image_paths):
+    """Late-fusion models expose no attention maps; the pipeline must still
+    produce all head outputs (regression test for attention=None handling)."""
+    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+    from camouflage_multimodal_tpu.models.fusion import MultimodalCamouflageDetector
+    from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
+    from camouflage_multimodal_tpu.pipeline import (
+        MultimodalPipeline,
+        RegionGraphPipeline,
+        padded_nodes,
+    )
+
+    size, nseg = 96, 64
+    K = padded_nodes(nseg, size)
+    rg_model = RegionGraphGNN()
+    fusion = MultimodalCamouflageDetector(fusion_type="late")
+    rg_pipe = RegionGraphPipeline(rg_model, n_segments=nseg, image_size=size,
+                                  max_nodes=K, slic_iters=3)
+    pipe = MultimodalPipeline(rg_pipe, fusion)
+
+    key = jax.random.PRNGKey(0)
+    rg_vars = rg_model.init(key, jnp.zeros((1, K, 15)), jnp.zeros((1, K, K), bool),
+                            jnp.zeros((1, K, K)), jnp.ones((1, K), bool))
+    fusion_vars = fusion.init(key, jnp.zeros((1, K, 128)), jnp.zeros((1, 13, 128)))
+    kg = jax.random.normal(key, (13, 128))
+    img = load_image_rgb(sample_image_paths[0], size)
+
+    out = pipe(rg_vars, fusion_vars, jnp.asarray(img[None]), kg)
+    assert "attention" not in out
+    assert out["mask_prob"].shape == (1, 2)
+    assert out["heatmap"].shape == (1, size, size)
