@@ -132,3 +132,12 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
     with open(os.path.join(output_dir, "embedding_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return all_embeddings, summary
+
+
+def format_time(seconds: float) -> str:
+    """Readable duration (reference extract_rg_embeddings.py:290-299)."""
+    if seconds < 60:
+        return f"{seconds:.1f}s"
+    if seconds < 3600:
+        return f"{seconds / 60:.1f}m"
+    return f"{seconds / 3600:.2f}h"
