@@ -58,7 +58,8 @@ def cmd_extract_rg(args):
     pipeline = RegionGraphPipeline(model, n_segments=args.n_segments)
     _, summary = batch_extract_embeddings(
         pipeline, variables, args.image_dir, args.output,
-        max_images=args.max_images, batch_size=args.batch_size)
+        max_images=args.max_images, batch_size=args.batch_size,
+        save_individual=args.save_individual)
     pt = summary["processing_time"]
     print(f"done: {pt['successful_images']} images, "
           f"{pt['avg_per_image']:.3f}s/image")
@@ -227,6 +228,8 @@ def main(argv=None):
     p.add_argument("--n-segments", type=int, default=500)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--save-individual", action="store_true",
+                   help="also write per-image <name>_embedding.npz artifacts")
     p.set_defaults(func=cmd_extract_rg)
 
     p = sub.add_parser("ingest-kg")

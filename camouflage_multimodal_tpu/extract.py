@@ -90,6 +90,7 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
         node_embs = np.asarray(out["node_embeddings"])
         graph_embs = np.asarray(out["graph_embedding"])
         segments = np.asarray(out["segments"]) if save_individual else None
+        raw_feats = np.asarray(out["region_features"]) if save_individual else None
         for j, name in enumerate(names):
             node_emb = node_embs[j][node_mask[j]]
             graph_emb = graph_embs[j][None]
@@ -106,6 +107,7 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
                     image_name=name, node_embeddings=node_emb,
                     graph_embedding=graph_emb, num_nodes=node_emb.shape[0],
                     segments=segments[j],
+                    node_features=raw_feats[j][node_mask[j]],
                 )
             summary["images"][name] = {
                 "num_nodes": int(node_emb.shape[0]),

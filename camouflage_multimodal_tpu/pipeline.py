@@ -137,6 +137,7 @@ class RegionGraphPipeline:
             "heatmap": heatmap,                       # (B, H, W) in [0,1]
             "segments": batch.segments,
             "node_mask": batch.node_mask,
+            "region_features": batch.features,        # (B, K, 15) raw features
             "mask_logits": out["mask_logits"],
             "instance_logits": out["instance_logits"],
             "edge_logits": out["edge_logits"],

@@ -168,3 +168,48 @@ def test_native_loader_matches_pil(sample_image_paths):
 
     batch, ok = native.load_batch(sample_image_paths[:2], 128)
     assert batch.shape == (2, 128, 128, 3) and ok.all()
+
+
+def test_multimodal_predictor_end_to_end(rg_setup, rg_store, kg_store_path, workdir):
+    """Fusion checkpoint → MultimodalPredictor → single-image prediction
+    dict with the reference's keys (test_multimodal.py:141-150)."""
+    from camouflage_multimodal_tpu.api import MultimodalPredictor
+    from camouflage_multimodal_tpu.data.matcher import EmbeddingMatcher
+    from camouflage_multimodal_tpu.train.train_fusion import FusionDataset, FusionTrainer
+
+    matcher = EmbeddingMatcher(rg_store, kg_store_path)
+    matched = matcher.create_matched_dataset(use_all_kg_categories=True)
+    dataset = FusionDataset(matched, os.path.join(REF, "data/COD10K/gt_object"),
+                            os.path.join(REF, "data/COD10K/gt_instance"),
+                            os.path.join(REF, "data/COD10K/gt_edge"),
+                            max_rg_nodes=MAX_NODES)
+    model_cfg = {"hidden_dim": 64, "num_heads": 4}
+    trainer = FusionTrainer(model_config=model_cfg)
+    ckpt_dir = str(workdir / "pred_ckpts")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    trainer.fit(dataset, epochs=1, batch_size=3, checkpoint_dir=ckpt_dir,
+                config={"model": model_cfg}, log_fn=lambda *_: None)
+
+    _, _, _, rg_ckpt = rg_setup
+    predictor = MultimodalPredictor(
+        os.path.join(ckpt_dir, "multimodal_best_fixed.ckpt"), rg_ckpt,
+        kg_store_path, n_segments=N_SEG)
+    # match the tiny fixture pipeline geometry
+    from camouflage_multimodal_tpu.pipeline import MultimodalPipeline, RegionGraphPipeline
+
+    predictor.rg_pipeline = RegionGraphPipeline(
+        predictor.rg_pipeline.model, n_segments=N_SEG, image_size=IMG_SIZE,
+        max_nodes=MAX_NODES, slic_iters=4)
+    predictor.pipeline = MultimodalPipeline(predictor.rg_pipeline,
+                                            predictor.fusion_model)
+
+    img_path = sorted(glob.glob(os.path.join(REF, "data/COD10K/images/*.jpg")))[0]
+    predictions, attn, kg_ordered = predictor.predict_single_image(img_path)
+    for key in ("mask_logits", "mask_prob", "mask_pred", "instance_prob",
+                "instance_pred", "edge_prob", "score", "segments"):
+        assert key in predictions, key
+    assert predictions["mask_pred"] in (0, 1)
+    assert 0.0 <= predictions["score"] <= 1.0
+    assert attn["rg2kg"].shape[1] == len(kg_ordered)
+    np.testing.assert_allclose(np.asarray(predictions["mask_prob"]).sum(), 1.0,
+                               atol=1e-5)
