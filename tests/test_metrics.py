@@ -86,3 +86,53 @@ def test_s_measure_degenerate_gt():
     gt_empty = np.zeros((16, 16), dtype=np.float32)
     m = evaluate_segmentation(pred, gt_empty)
     assert m["s_measure"] == pytest.approx(0.8, abs=1e-5)
+
+
+def test_s_region_matches_numpy_centroid_split():
+    """The jittable masked-quadrant S-region vs a direct numpy
+    centroid-split implementation (Fan et al. semantics)."""
+    import jax.numpy as jnp
+
+    from camouflage_multimodal_tpu.eval.metrics import _s_region
+
+    def np_ssim(p, g):
+        n = p.size
+        if n <= 1:
+            return 1.0
+        mx, my = p.mean(), g.mean()
+        sx = ((p - mx) ** 2).sum() / (n - 1)
+        sy = ((g - my) ** 2).sum() / (n - 1)
+        sxy = ((p - mx) * (g - my)).sum() / (n - 1)
+        alpha = 4 * mx * my * sxy
+        beta = (mx**2 + my**2) * (sx + sy)
+        if alpha != 0:
+            return alpha / (beta + 1e-8)
+        return 1.0 if beta == 0 else 0.0
+
+    def np_s_region(pred, gt):
+        H, W = gt.shape
+        total = gt.sum()
+        if total > 0:
+            yy, xx = np.mgrid[:H, :W]
+            cy = int(round((yy * gt).sum() / total))
+            cx = int(round((xx * gt).sum() / total))
+        else:
+            cy, cx = H // 2, W // 2
+        score = 0.0
+        for (ys, xs) in [(slice(0, cy), slice(0, cx)), (slice(0, cy), slice(cx, W)),
+                         (slice(cy, H), slice(0, cx)), (slice(cy, H), slice(cx, W))]:
+            p, g = pred[ys, xs], gt[ys, xs]
+            w = p.size / (H * W)
+            if p.size:
+                score += w * np_ssim(p.astype(np.float64), g.astype(np.float64))
+        return score
+
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        gt = np.zeros((40, 40), np.float32)
+        y0, x0 = rng.integers(2, 20, 2)
+        gt[y0:y0 + rng.integers(5, 15), x0:x0 + rng.integers(5, 15)] = 1.0
+        pred = np.clip(gt + rng.normal(0, 0.3, gt.shape), 0, 1).astype(np.float32)
+        ref = np_s_region(pred, gt)
+        got = float(_s_region(jnp.asarray(pred), jnp.asarray(gt)))
+        assert got == pytest.approx(ref, abs=2e-2), (got, ref)
