@@ -64,13 +64,19 @@ def _init_indices(height: int, width: int, gh: int, gw: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_segments", "compactness", "sigma", "num_iters", "convert_lab"),
+    static_argnames=("n_segments", "compactness", "sigma", "num_iters",
+                     "convert_lab", "backend"),
 )
 def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
-         sigma: float = 1.0, num_iters: int = 10, convert_lab: bool = True) -> jnp.ndarray:
+         sigma: float = 1.0, num_iters: int = 10, convert_lab: bool = True,
+         backend: str = "xla") -> jnp.ndarray:
     """Segment an (H, W, 3) float RGB image in [0,1].
 
     Returns an (H, W) int32 label map with values in [0, gh*gw).
+
+    ``backend="pallas"`` runs the assignment step through the MXU distance
+    kernel (ops/pallas_slic.py) instead of the 9-candidate gather — same
+    candidate window, useful at larger grids.
     """
     H, W, _ = image.shape
     gh, gw = grid_shape(n_segments, H, W)
@@ -125,16 +131,28 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
     cand_flat = cand_ids.reshape(-1, 9)
     valid_flat = cand_valid.reshape(-1, 9)
 
-    def assign(centers):
-        c = centers[cand_flat]                      # (HW, 9, 5)
-        d = pix_flat[:, None, :] - c                # (HW, 9, 5)
-        dist = (
-            jnp.sum(d[..., :3] ** 2, axis=-1)
-            + ratio * jnp.sum(d[..., 3:] ** 2, axis=-1)
-        )
-        dist = jnp.where(valid_flat, dist, jnp.inf)
-        best = jnp.argmin(dist, axis=-1)            # (HW,)
-        return jnp.take_along_axis(cand_flat, best[:, None], axis=-1)[:, 0]
+    if backend == "pallas":
+        from camouflage_multimodal_tpu.ops.pallas_slic import pallas_slic_assign
+
+        sqrt_ratio = math.sqrt(ratio)
+        scale_vec = jnp.asarray([1.0, 1.0, 1.0, sqrt_ratio, sqrt_ratio], jnp.float32)
+        pcell_y = jnp.repeat(cell_y, W)
+        pcell_x = jnp.tile(cell_x, H)
+
+        def assign(centers):
+            return pallas_slic_assign(pix_flat * scale_vec, centers * scale_vec,
+                                      pcell_y, pcell_x, gh, gw)
+    else:
+        def assign(centers):
+            c = centers[cand_flat]                      # (HW, 9, 5)
+            d = pix_flat[:, None, :] - c                # (HW, 9, 5)
+            dist = (
+                jnp.sum(d[..., :3] ** 2, axis=-1)
+                + ratio * jnp.sum(d[..., 3:] ** 2, axis=-1)
+            )
+            dist = jnp.where(valid_flat, dist, jnp.inf)
+            best = jnp.argmin(dist, axis=-1)            # (HW,)
+            return jnp.take_along_axis(cand_flat, best[:, None], axis=-1)[:, 0]
 
     def update(labels, centers):
         ones = jnp.ones((pix_flat.shape[0], 1), dtype=jnp.float32)

@@ -49,3 +49,17 @@ def test_fusion_model_pallas_flag_matches(rng):
     np.testing.assert_allclose(np.asarray(got["attention"]["rg2kg"]),
                                np.asarray(ref["attention"]["rg2kg"]),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_pallas_slic_backend_agrees_with_xla(sample_image_paths):
+    """The MXU distance-matmul assignment vs the 9-candidate gather path:
+    same window semantics, so labels must agree up to float-tie breaking."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled Pallas path needs TPU")
+    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+    from camouflage_multimodal_tpu.ops.slic import slic
+
+    img = jnp.asarray(load_image_rgb(sample_image_paths[0], 128))
+    a = np.asarray(slic(img, n_segments=128, num_iters=5))
+    b = np.asarray(slic(img, n_segments=128, num_iters=5, backend="pallas"))
+    assert (a == b).mean() > 0.995
