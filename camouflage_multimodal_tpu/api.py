@@ -46,7 +46,20 @@ def classification_bands(mean_score: float) -> Tuple[str, str]:
     return "NOT CAMOUFLAGED", "green"
 
 
+def _is_torch_checkpoint(path: str) -> bool:
+    return os.path.splitext(path)[1].lower() in (".pth", ".pt")
+
+
 def load_rg_model(checkpoint_path: str) -> Tuple[RegionGraphGNN, Dict[str, Any]]:
+    """Load an RG checkpoint — this repo's pytree ``.ckpt`` or the
+    reference's torch ``.pth`` (bare state_dict, train.py:463), which is
+    transplanted via core.torch_compat so reference users can bring their
+    trained weights unchanged."""
+    if _is_torch_checkpoint(checkpoint_path):
+        from camouflage_multimodal_tpu.core.torch_compat import load_torch_checkpoint
+
+        variables, _ = load_torch_checkpoint(checkpoint_path, kind="region_graph")
+        return RegionGraphGNN(), variables
     ckpt = load_checkpoint(checkpoint_path)
     cfg = ckpt.get("model_config", {})
     model = RegionGraphGNN(
@@ -103,7 +116,16 @@ def detect_camouflage(image_path: str, checkpoint_path: str,
 
 def load_multimodal_model(checkpoint_path: str):
     """Load a fusion checkpoint (config travels inside, like
-    test_multimodal.py:30-55)."""
+    test_multimodal.py:30-55). Accepts this repo's ``.ckpt`` or the
+    reference's torch ``.pth`` — both checkpoint generations
+    (test_multimodal.py:44-53) — via core.torch_compat."""
+    if _is_torch_checkpoint(checkpoint_path):
+        from camouflage_multimodal_tpu.core.torch_compat import load_torch_checkpoint
+
+        variables, meta = load_torch_checkpoint(checkpoint_path, kind="fusion")
+        config = meta.get("config", {})
+        model = build_multimodal_model(config.get("model", config))
+        return model, variables, config
     ckpt = load_checkpoint(checkpoint_path)
     config = ckpt.get("config", {})
     model = build_multimodal_model(config.get("model", config))
@@ -186,9 +208,11 @@ def test_image_directory(predictor: MultimodalPredictor, image_dir: str,
         if not images:
             continue
         batch = np.stack(images)
-        # pad the final partial batch to the jit'd batch size
-        pad = 0
-        if batch.shape[0] < batch_size and i > 0:
+        # ALWAYS pad partial batches to the jit'd batch size — including a
+        # short first batch — so the whole directory (and later calls) share
+        # one compiled shape instead of paying an extra 20-40 s XLA compile
+        # for small inputs (VERDICT r1 item 9).
+        if batch.shape[0] < batch_size:
             pad = batch_size - batch.shape[0]
             batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:],
                                                     batch.dtype)])
@@ -252,8 +276,8 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
         if not imgs:
             continue
         batch = np.stack(imgs)
-        pad = 0
-        if batch.shape[0] < batch_size and len(heatmaps) > 0:
+        # Pad every partial batch (first included) to keep one compiled shape.
+        if batch.shape[0] < batch_size:
             pad = batch_size - batch.shape[0]
             batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
         out = pipeline(variables, jnp.asarray((batch * 255.0).round().astype(np.uint8)))

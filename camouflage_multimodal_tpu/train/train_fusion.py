@@ -59,14 +59,29 @@ def calculate_f1_score(predictions: np.ndarray, labels: np.ndarray) -> Dict[str,
 
 
 class FusionDataset:
-    """Matched RG/KG samples + GT-derived labels, padded to fixed buckets."""
+    """Matched RG/KG samples + GT-derived labels, padded to fixed buckets.
+
+    ``max_rg_nodes`` sizes the padded node bucket. The default 576 is
+    lane-aligned (9×64) and covers the reference's own extraction scale —
+    its ``embedding_summary.json`` records up to ~525 nodes/image at
+    n_segments=500. Pass ``None`` to size the bucket from the data
+    (max node count rounded up to a multiple of 64). Any nodes that still
+    overflow the bucket are counted in ``truncated_nodes`` /
+    ``truncated_samples`` and reported once per collate pass instead of
+    being dropped silently.
+    """
 
     def __init__(self, matched_data: List[Dict[str, Any]], mask_dir: str,
-                 instance_dir: str, edge_dir: str, max_rg_nodes: int = 512,
-                 augment: bool = False, seed: int = 0) -> None:
+                 instance_dir: str, edge_dir: str,
+                 max_rg_nodes: Optional[int] = 576,
+                 augment: bool = False, seed: int = 0,
+                 log_fn=print) -> None:
         from PIL import Image
 
-        self.max_rg_nodes = max_rg_nodes
+        self.log_fn = log_fn
+        self.truncated_nodes = 0
+        self.truncated_samples = 0
+        self._warned_truncation = False
         self.augment = augment
         self.rng = np.random.default_rng(seed)
         self.samples: List[Dict[str, Any]] = []
@@ -87,6 +102,35 @@ class FusionDataset:
                 "edge_label": float(edge_mask.mean() > 10),
                 "score_label": float(mask.mean() / 255.0),
             })
+        if max_rg_nodes is None:
+            widest = max((int(np.asarray(s["rg_node_embeddings"]).shape[0])
+                          for s in self.samples), default=64)
+            max_rg_nodes = -(-widest // 64) * 64  # ceil to a 64-lane multiple
+        self.max_rg_nodes = int(max_rg_nodes)
+
+    @classmethod
+    def from_samples(cls, samples: List[Dict[str, Any]],
+                     max_rg_nodes: Optional[int] = 576,
+                     augment: bool = False, seed: int = 0,
+                     log_fn=print) -> "FusionDataset":
+        """Build a dataset from already-labeled sample records (each holding
+        rg_node_embeddings / kg_embeddings / label / confidence / edge_label /
+        score_label), skipping GT-file scanning. Used by tests and by callers
+        that precompute labels."""
+        ds = cls.__new__(cls)
+        ds.log_fn = log_fn
+        ds.truncated_nodes = 0
+        ds.truncated_samples = 0
+        ds._warned_truncation = False
+        ds.augment = augment
+        ds.rng = np.random.default_rng(seed)
+        ds.samples = list(samples)
+        if max_rg_nodes is None:
+            widest = max((int(np.asarray(s["rg_node_embeddings"]).shape[0])
+                          for s in ds.samples), default=64)
+            max_rg_nodes = -(-widest // 64) * 64
+        ds.max_rg_nodes = int(max_rg_nodes)
+        return ds
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -126,12 +170,22 @@ class FusionDataset:
                 node = node + self.rng.standard_normal(node.shape).astype(np.float32) * 0.01
                 kge = kge + self.rng.standard_normal(kge.shape).astype(np.float32) * 0.01
             n = min(node.shape[0], K)
+            if node.shape[0] > K:
+                self.truncated_nodes += node.shape[0] - K
+                self.truncated_samples += 1
             rg[i, :n] = node[:n]
             rg_mask[i, :n] = True
             kg[i] = kge
             y[i] = s["label"]
             edge[i] = s["edge_label"]
             score[i] = s["score_label"]
+        if self.truncated_nodes and not self._warned_truncation:
+            self._warned_truncation = True
+            self.log_fn(
+                f"WARNING: FusionDataset bucket max_rg_nodes={K} is smaller than "
+                f"some samples — {self.truncated_nodes} nodes dropped across "
+                f"{self.truncated_samples} sample(s) so far. Pass max_rg_nodes=None "
+                f"to size the bucket from the data.")
         return {"rg": rg, "rg_mask": rg_mask, "kg": kg, "y": y,
                 "edge": edge, "score": score}
 

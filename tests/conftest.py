@@ -23,6 +23,18 @@ if os.environ.get("FORCE_CPU_TESTS") == "1":
     if "xla_force_host_platform_device_count" not in _flags:
         os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+if os.environ.get("FORCE_CPU_TESTS") == "1":
+    # The axon sitecustomize re-registers its PJRT plugin programmatically and
+    # IGNORES the JAX_PLATFORMS env var — only the config knob, set before the
+    # first backend init, actually switches platforms.
+    jax.config.update("jax_platforms", "cpu")
+
+# Parity suite: goldens are f32 torch/scipy — run every matmul at f32 on the
+# MXU (the TPU default is bf16-grade and drifts ~1e-3 through deep stacks).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 
 REF = "/root/reference"
 
+pytestmark = pytest.mark.slow  # full pipelines / training on real images
+
+
 
 def test_cli_ingest_kg(tmp_path):
     from camouflage_multimodal_tpu import cli

@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
+
+pytestmark = pytest.mark.slow  # full pipelines / training on real images
+
 N_IMAGES = 6
 IMG_SIZE = 96
 N_SEG = 64

@@ -6,6 +6,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # full pipelines / training on real images
+
+
 
 def test_region_graph_pipeline_end_to_end(sample_image_paths):
     """Full image → heatmap pipeline: shapes, ranges, reconstruction."""

@@ -170,6 +170,45 @@ def test_kg_trainer_end_to_end_tiny():
     assert all(-1.0001 <= v <= 1.0001 for v in sims.values())
 
 
+def test_fusion_dataset_bucket_fits_reference_scale(rng):
+    """A 525-node record (the reference's max at n_segments=500) must fit the
+    default bucket with zero dropped nodes; overflow must be counted and
+    reported, and max_rg_nodes=None must size the bucket from the data
+    (VERDICT r1 item 4)."""
+    from camouflage_multimodal_tpu.train.train_fusion import FusionDataset
+
+    def record(n_nodes, i=0):
+        return {
+            "image_name": f"x{i}.jpg",
+            "rg_node_embeddings": rng.standard_normal((n_nodes, 128)).astype(np.float32),
+            "kg_embeddings": rng.standard_normal((13, 128)).astype(np.float32),
+            "label": 1, "confidence": 1.0, "edge_label": 1.0, "score_label": 0.5,
+        }
+
+    # Default bucket (576) swallows the reference's widest graphs.
+    ds = FusionDataset.from_samples([record(525)])
+    batch = ds.collate([0])
+    assert ds.max_rg_nodes == 576
+    assert ds.truncated_nodes == 0
+    assert int(batch["rg_mask"].sum()) == 525
+
+    # A too-small bucket counts what it drops and warns once.
+    messages = []
+    small = FusionDataset.from_samples([record(525)], max_rg_nodes=512,
+                                       log_fn=messages.append)
+    small.collate([0])
+    small.collate([0])
+    assert small.truncated_nodes == 2 * (525 - 512)
+    assert small.truncated_samples == 2
+    assert len(messages) == 1 and "dropped" in messages[0]
+
+    # Data-driven bucket: ceil(max nodes / 64) * 64.
+    auto = FusionDataset.from_samples([record(525), record(100, 1)],
+                                      max_rg_nodes=None)
+    assert auto.max_rg_nodes == 576
+    assert int(auto.collate([0])["rg_mask"].sum()) == 525
+
+
 def test_fusion_scan_trainer_synthetic(rng):
     """Scan-based fusion epochs: mechanics + learning on separable data."""
     from camouflage_multimodal_tpu.train.train_fusion import FusionDataset, FusionTrainer
@@ -186,11 +225,7 @@ def test_fusion_scan_trainer_synthetic(rng):
             "label": label, "confidence": 1.0,
             "edge_label": float(label), "score_label": float(label),
         })
-    ds = FusionDataset.__new__(FusionDataset)
-    ds.samples = samples
-    ds.max_rg_nodes = K
-    ds.augment = True
-    ds.rng = np.random.default_rng(0)
+    ds = FusionDataset.from_samples(samples, max_rg_nodes=K, augment=True)
 
     trainer = FusionTrainer(model_config={"hidden_dim": 64, "num_heads": 4},
                             learning_rate=1e-3)
