@@ -2,45 +2,70 @@
 
 Measures the FULL per-image pipeline the reference ran on CPU at
 2.216 s/image (/root/reference/models/region_graph/rg_embeddings/
-embedding_summary.json): decode-normalized image → SLIC superpixels → Canny
+embedding_summary.json): JPEG decode → resize → SLIC superpixels → Canny
 → 15-dim segment features → RAG → RegionGraphGNN → cross-attention fusion →
-4 heads + per-pixel heatmap — here as one jitted XLA program, batched.
+4 heads + per-pixel heatmap.
+
+Headline number = END-TO-END including host decode (the reference's anchor
+included its PIL decode), with the native C++ threaded decoder double-buffered
+against device compute: batch i+1 is decoded + shipped (uint8) while the
+device runs batch i. Device-only throughput is reported alongside.
+
+Default resolution is 352x352 per BASELINE.json's named configs
+(BENCH_IMAGE_SIZE=416/256 for the other rows).
 
 Prints ONE JSON line:
-  {"metric": "images/sec/chip multimodal inference 256x256",
-   "value": <imgs/s>, "unit": "images/sec", "vs_baseline": <speedup vs
-   0.4513 img/s reference CPU anchor>, ...extras}
+  {"metric": "...352x352...", "value": <imgs/s end-to-end>,
+   "unit": "images/sec", "vs_baseline": <vs 0.4513 img/s reference anchor>,
+   "device_only_imgs_per_sec": ..., "p50_per_image_ms": ...}
 """
 
 import glob
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-import os as _os
-
-BATCH = int(_os.environ.get("BENCH_BATCH", 16))
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
 WARMUP = 5
-ITERS = int(_os.environ.get("BENCH_ITERS", 50))
-IMAGE_SIZE = int(_os.environ.get("BENCH_IMAGE_SIZE", 256))  # 352/416 per BASELINE configs
-N_SEGMENTS = int(_os.environ.get("BENCH_N_SEGMENTS", 500))
+ITERS = int(os.environ.get("BENCH_ITERS", 30))
+E2E_ITERS = int(os.environ.get("BENCH_E2E_ITERS", 8))
+IMAGE_SIZE = int(os.environ.get("BENCH_IMAGE_SIZE", 352))  # BASELINE configs: 352 (416/256 variants)
+N_SEGMENTS = int(os.environ.get("BENCH_N_SEGMENTS", 500))
 REFERENCE_SECONDS_PER_IMAGE = 2.2161  # reference embedding_summary.json
+
+
+def _image_paths(n):
+    return sorted(glob.glob("/root/reference/data/COD10K/images/*.jpg"))[:n]
 
 
 def _load_images(n):
     """Real COD10K images when the reference mount is present, else noise."""
-    paths = sorted(glob.glob("/root/reference/data/COD10K/images/*.jpg"))[:n]
+    paths = _image_paths(n)
     if paths:
         from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
 
         return np.stack([load_image_rgb(p, IMAGE_SIZE) for p in paths])
     rng = np.random.default_rng(0)
     return rng.random((n, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+
+
+def _decode_batch_u8(paths):
+    """Native threaded C++ decode straight to uint8; PIL fallback."""
+    from camouflage_multimodal_tpu import native
+
+    if native.available():
+        batch, _ = native.load_batch_u8(paths, IMAGE_SIZE)
+        return batch
+    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+
+    return np.stack([(load_image_rgb(p, IMAGE_SIZE) * 255).round().astype(np.uint8)
+                     for p in paths])
 
 
 def main():
@@ -66,7 +91,7 @@ def main():
     fusion_vars = fusion_model.init(rng, jnp.zeros((1, K, 128)), jnp.zeros((1, 13, 128)))
     kg = jax.random.normal(rng, (13, 128))
 
-    # Two distinct batches, alternated, so no call can reuse a cached result.
+    # --- device-only throughput: two distinct resident batches, alternated --
     raw = _load_images(2 * BATCH)
     if raw.shape[0] < 2 * BATCH:
         raw = np.concatenate([raw] * (2 * BATCH // max(raw.shape[0], 1) + 1))[: 2 * BATCH]
@@ -86,50 +111,53 @@ def main():
         run(i)
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
-
-    imgs_per_sec = BATCH / med
+    device_imgs_per_sec = BATCH / med
     p50_latency_ms = med / BATCH * 1000.0
     baseline_imgs_per_sec = 1.0 / REFERENCE_SECONDS_PER_IMAGE
 
-    # Host-decode-inclusive number (the reference's 2.216 s/image included
-    # its PIL decode): threaded native C++ decode feeding the device.
-    decode_imgs_per_sec = None
-    try:
-        import glob as _glob
+    # --- end-to-end: native decode double-buffered against device compute ---
+    # The decode worker prepares AND device_puts batch i+1 (uint8, 4x smaller
+    # on the tunneled host link) while the device runs batch i.
+    e2e_imgs_per_sec = None
+    paths = _image_paths(4 * BATCH)
+    if paths:
+        if len(paths) < 4 * BATCH:
+            paths = (paths * (4 * BATCH // len(paths) + 1))[: 4 * BATCH]
+        path_batches = [paths[i * BATCH:(i + 1) * BATCH] for i in range(4)]
 
-        from camouflage_multimodal_tpu import native
+        def produce(pb):
+            return jnp.asarray(_decode_batch_u8(pb))
 
-        paths = sorted(_glob.glob("/root/reference/data/COD10K/images/*.jpg"))[:BATCH]
-        if native.available() and paths:
-            # warm the uint8-input executable
-            warm, _ = native.load_batch(paths, IMAGE_SIZE)
-            warm_u8 = (warm * 255.0).round().astype(np.uint8)
-            pipe(rg_vars, fusion_vars, jnp.asarray(warm_u8), kg)["heatmap"].block_until_ready()
+        # warm the uint8-input executable
+        pipe(rg_vars, fusion_vars, produce(path_batches[0]), kg)[
+            "heatmap"].block_until_ready()
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(produce, path_batches[0])
             t0 = time.perf_counter()
-            n_done = 0
-            for i in range(4):
-                host_batch, ok = native.load_batch(paths, IMAGE_SIZE)
-                u8 = (host_batch * 255.0).round().astype(np.uint8)
-                out = pipe(rg_vars, fusion_vars, jnp.asarray(u8), kg)
-                out["heatmap"].block_until_ready()
-                n_done += len(paths)
-            decode_imgs_per_sec = n_done / (time.perf_counter() - t0)
-    except Exception:
-        pass
+            last = None
+            for i in range(E2E_ITERS):
+                dev_batch = fut.result()
+                fut = ex.submit(produce, path_batches[(i + 1) % 4])
+                last = pipe(rg_vars, fusion_vars, dev_batch, kg)
+            last["heatmap"].block_until_ready()
+            e2e_imgs_per_sec = E2E_ITERS * BATCH / (time.perf_counter() - t0)
 
+    headline = e2e_imgs_per_sec if e2e_imgs_per_sec is not None else device_imgs_per_sec
+    scope = ("host decode + " if e2e_imgs_per_sec is not None else "")
     result = {
-        "metric": f"images/sec/chip multimodal inference {IMAGE_SIZE}x{IMAGE_SIZE} (SLIC+features+RAG+GNN+fusion+heatmap)",
-        "value": round(imgs_per_sec, 3),
+        "metric": (f"images/sec/chip end-to-end multimodal inference "
+                   f"{IMAGE_SIZE}x{IMAGE_SIZE} "
+                   f"({scope}SLIC+features+RAG+GNN+fusion+heatmap)"),
+        "value": round(headline, 3),
         "unit": "images/sec",
-        "vs_baseline": round(imgs_per_sec / baseline_imgs_per_sec, 2),
+        "vs_baseline": round(headline / baseline_imgs_per_sec, 2),
+        "device_only_imgs_per_sec": round(device_imgs_per_sec, 3),
+        "device_only_vs_baseline": round(device_imgs_per_sec / baseline_imgs_per_sec, 2),
         "p50_per_image_ms": round(p50_latency_ms, 3),
         "batch": BATCH,
         "backend": jax.default_backend(),
     }
-    if decode_imgs_per_sec is not None:
-        result["with_host_decode_imgs_per_sec"] = round(decode_imgs_per_sec, 2)
-        result["with_host_decode_vs_baseline"] = round(
-            decode_imgs_per_sec / baseline_imgs_per_sec, 2)
     print(json.dumps(result))
 
 

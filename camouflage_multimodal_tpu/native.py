@@ -48,6 +48,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
         lib.cmt_load_batch.restype = ctypes.c_int
+        lib.cmt_load_image_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.cmt_load_image_u8.restype = ctypes.c_int
+        lib.cmt_load_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.cmt_load_batch_u8.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -158,5 +169,28 @@ def load_batch(paths: List[str], size: int = 256, gray: bool = False,
                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                        n_threads)
+    shape = (n, size, size) if gray else (n, size, size, 3)
+    return out.reshape(shape), status == 0
+
+
+def load_batch_u8(paths: List[str], size: int = 256, gray: bool = False,
+                  n_threads: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded batch decode straight to uint8 (PIL-rounded bytes) — the
+    natural feed for the device-side normalize (ops/image.py), 4x smaller
+    on the host link than the float path. Returns (batch uint8, ok)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native dataio unavailable")
+    n = len(paths)
+    c = 1 if gray else 3
+    out = np.empty((n, size * size * c), dtype=np.uint8)
+    status = np.empty(n, dtype=np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads is None:
+        n_threads = min(max(os.cpu_count() or 1, 1), 8)
+    lib.cmt_load_batch_u8(arr, n, size, int(gray),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                          status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                          n_threads)
     shape = (n, size, size) if gray else (n, size, size, 3)
     return out.reshape(shape), status == 0

@@ -260,7 +260,16 @@ class FusionTrainer:
 
     def _device_dataset(self, dataset: "FusionDataset") -> Dict[str, jnp.ndarray]:
         idx = list(range(len(dataset)))
-        cols = dataset.collate(idx)
+        # Host-side augmentation must NOT bake a frozen noise realization
+        # into the device-resident copy — scan epochs apply fresh device-side
+        # noise per epoch in _epoch_impl (and leaving it on would also
+        # consume the dataset RNG, breaking run-to-run reproducibility).
+        saved = dataset.augment
+        dataset.augment = False
+        try:
+            cols = dataset.collate(idx)
+        finally:
+            dataset.augment = saved
         return {k: jnp.asarray(v) for k, v in cols.items()}
 
     def _epoch_impl(self, train: bool, augment: bool, state: TrainState,
@@ -290,16 +299,22 @@ class FusionTrainer:
             train_split: float = 0.8, seed: int = 0,
             checkpoint_dir: Optional[str] = None, max_patience: int = 15,
             config: Optional[Dict[str, Any]] = None, use_scan: bool = False,
+            resume_from: Optional[str] = None, resume_path: Optional[str] = None,
             log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
         if use_scan:
             return self._fit_scan(dataset, epochs, batch_size, train_split, seed,
-                                  checkpoint_dir, max_patience, config, log_fn)
+                                  checkpoint_dir, max_patience, config, log_fn,
+                                  resume_from=resume_from, resume_path=resume_path)
         return self._fit_loop(dataset, epochs, batch_size, train_split, seed,
                               checkpoint_dir, max_patience, config, log_fn)
 
     def _fit_scan(self, dataset, epochs, batch_size, train_split, seed,
-                  checkpoint_dir, max_patience, config, log_fn):
+                  checkpoint_dir, max_patience, config, log_fn,
+                  resume_from=None, resume_path=None):
         import functools
+
+        from camouflage_multimodal_tpu.core.checkpoint import (
+            load_resume_checkpoint, save_resume_checkpoint)
 
         rng = np.random.default_rng(seed)
         n = len(dataset)
@@ -336,8 +351,22 @@ class FusionTrainer:
         best_f1 = 0.0
         patience = 0
         val_order = order_of(val_idx)
+        start_epoch = 0
+        if resume_from:
+            blob = load_resume_checkpoint(resume_from)
+            ts = blob["train_state"]
+            state = TrainState(params=ts["params"], batch_stats=ts["batch_stats"],
+                               opt_state=ts["opt_state"],
+                               step=jnp.asarray(ts["step"]))
+            rng.bit_generator.state = blob["numpy_rng_state"]
+            key = jnp.asarray(blob["dropout_key"])
+            history = blob["history"]
+            best_f1 = blob["best_val"]
+            patience = blob.get("patience", 0)
+            start_epoch = blob["epoch"] + 1
+            log_fn(f"resumed from {resume_from} at epoch {start_epoch}")
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             lr = cosine_warm_restarts(epoch, self.base_lr, T_0=10, T_mult=2)
             sampled = rng.choice(train_idx, size=len(train_idx), replace=True, p=p)
             key, sub = jax.random.split(key)
@@ -389,6 +418,11 @@ class FusionTrainer:
                 if patience >= max_patience:
                     log_fn(f"Early stopping after {patience} epochs")
                     break
+            if resume_path:
+                save_resume_checkpoint(resume_path, state, epoch=epoch,
+                                       numpy_rng=rng, dropout_key=key,
+                                       history=history, best_val=best_f1,
+                                       extra={"patience": patience})
 
         if checkpoint_dir:
             with open(os.path.join(checkpoint_dir, "training_history_fixed.json"), "w") as f:

@@ -77,10 +77,53 @@ class KGTrainer:
         out = self.model.apply(state.variables, x, adj, mask)
         return jnp.mean((out["score"][:, 0] - y) ** 2)
 
+    # ------------------------------------------------------------------
+    # Scan-based epochs (repo convention, same shape as RGTrainer): the
+    # padded subgraphs live on device and each epoch is ONE dispatched
+    # lax.scan over shuffled batch indices — the host sees one loss array
+    # per epoch instead of a float() sync per step.
+    # ------------------------------------------------------------------
+
+    def _epoch_impl(self, train: bool, state: TrainState, data, order,
+                    lr, dropout_key):
+        def step(carry, idx):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            args = tuple(jnp.take(data[k], idx, axis=0)
+                         for k in ("x", "adj", "mask", "y"))
+            if train:
+                st, loss = self._train_step_impl(st, *args, lr, sub)
+            else:
+                loss = self._eval_step_impl(st, *args)
+            return (st, key), loss
+
+        (state, _), losses = jax.lax.scan(step, (state, dropout_key), order)
+        return state, losses
+
+    @staticmethod
+    def _make_order(rng, indices, batch_size, shuffle):
+        order = rng.permutation(indices) if shuffle else np.asarray(indices)
+        if len(order) >= batch_size:
+            steps = len(order) // batch_size
+            if len(order) - steps * batch_size:  # tail window keeps every sample
+                order = np.concatenate([order[: steps * batch_size],
+                                        order[-batch_size:]])
+                steps += 1
+            return jnp.asarray(order[: steps * batch_size]
+                               .reshape(steps, batch_size).astype(np.int32))
+        return jnp.asarray(order[None, :].astype(np.int32))
+
     def fit(self, subgraphs: List[dict], epochs: int = 50, batch_size: int = 32,
             train_split: float = 0.8, seed: int = 0,
             checkpoint_path: Optional[str] = "kg_gnn_model.ckpt",
+            resume_from: Optional[str] = None,
+            resume_path: Optional[str] = None,
             log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
+        import functools
+
+        from camouflage_multimodal_tpu.core.checkpoint import (
+            load_resume_checkpoint, save_resume_checkpoint)
+
         rng = np.random.default_rng(seed)
         x, adj, mask, y, truncated = pad_subgraphs(subgraphs, self.max_nodes)
         if truncated:
@@ -89,6 +132,8 @@ class KGTrainer:
         perm = rng.permutation(n)
         n_train = int(train_split * n)
         tr, va = perm[:n_train], perm[n_train:]
+        data = {"x": jnp.asarray(x), "adj": jnp.asarray(adj),
+                "mask": jnp.asarray(mask), "y": jnp.asarray(y)}
 
         state = self.init_state(jax.random.PRNGKey(seed))
         dropout_key = jax.random.PRNGKey(seed + 1)
@@ -96,27 +141,39 @@ class KGTrainer:
         best_val = float("inf")
         lr = self.base_lr
         plateau = 0
+        start_epoch = 0
+        if resume_from:
+            blob = load_resume_checkpoint(resume_from)
+            ts = blob["train_state"]
+            state = TrainState(params=ts["params"], batch_stats=ts["batch_stats"],
+                               opt_state=ts["opt_state"],
+                               step=jnp.asarray(ts["step"]))
+            rng.bit_generator.state = blob["numpy_rng_state"]
+            dropout_key = jnp.asarray(blob["dropout_key"])
+            history = blob["history"]
+            best_val = blob["best_val"]
+            lr = blob.get("lr", lr)
+            plateau = blob.get("plateau", 0)
+            start_epoch = blob["epoch"] + 1
+            log_fn(f"resumed from {resume_from} at epoch {start_epoch}")
 
-        for epoch in range(epochs):
-            order = rng.permutation(tr)
-            tr_losses = []
-            for i in range(0, len(order), batch_size):
-                idx = order[i: i + batch_size]
-                dropout_key, sub = jax.random.split(dropout_key)
-                state, loss = self._train_step(
-                    state, jnp.asarray(x[idx]), jnp.asarray(adj[idx]),
-                    jnp.asarray(mask[idx]), jnp.asarray(y[idx]),
+        train_epoch = jax.jit(functools.partial(self._epoch_impl, True),
+                              donate_argnums=(0,))
+        eval_epoch = jax.jit(functools.partial(self._epoch_impl, False))
+
+        for epoch in range(start_epoch, epochs):
+            dropout_key, sub = jax.random.split(dropout_key)
+            state, tr_losses = train_epoch(
+                state, data, self._make_order(rng, tr, batch_size, True),
+                jnp.asarray(lr, jnp.float32), sub)
+            tr_loss = float(jnp.mean(tr_losses))
+            if len(va):
+                _, va_losses = eval_epoch(
+                    state, data, self._make_order(rng, va, batch_size, False),
                     jnp.asarray(lr, jnp.float32), sub)
-                tr_losses.append(float(loss))
-            va_losses = []
-            for i in range(0, len(va), batch_size):
-                idx = va[i: i + batch_size]
-                va_losses.append(float(self._eval_step(
-                    state, jnp.asarray(x[idx]), jnp.asarray(adj[idx]),
-                    jnp.asarray(mask[idx]), jnp.asarray(y[idx]))))
-
-            tr_loss = float(np.mean(tr_losses)) if tr_losses else float("nan")
-            va_loss = float(np.mean(va_losses)) if va_losses else tr_loss
+                va_loss = float(jnp.mean(va_losses))
+            else:
+                va_loss = tr_loss
             history["train_loss"].append(tr_loss)
             history["val_loss"].append(va_loss)
             log_fn(f"Epoch {epoch + 1}/{epochs} | Train: {tr_loss:.4f} | Val: {va_loss:.4f}")
@@ -140,6 +197,11 @@ class KGTrainer:
                         "epoch": epoch,
                         "val_loss": va_loss,
                     })
+            if resume_path:
+                save_resume_checkpoint(
+                    resume_path, state, epoch=epoch, numpy_rng=rng,
+                    dropout_key=dropout_key, history=history,
+                    best_val=best_val, extra={"lr": lr, "plateau": plateau})
         return state, history
 
     # ------------------------------------------------------------------

@@ -195,8 +195,17 @@ class RGTrainer:
             train_split: float = 0.8, seed: int = 0,
             checkpoint_path: Optional[str] = "best_model.ckpt",
             weights_dtype=jnp.float32,
+            resume_from: Optional[str] = None,
+            resume_path: Optional[str] = None,
             log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
-        """Full training loop over a :class:`CODDataset`."""
+        """Full training loop over a :class:`CODDataset`.
+
+        ``resume_path`` writes a full-train-state snapshot (params + opt state
+        + epoch + RNG states) every epoch; ``resume_from`` continues from one
+        bit-exactly (the reference trainers could only restart from scratch)."""
+        from camouflage_multimodal_tpu.core.checkpoint import (
+            load_resume_checkpoint, save_resume_checkpoint)
+
         rng = np.random.default_rng(seed)
         n = len(dataset)
         perm = rng.permutation(n)
@@ -229,7 +238,20 @@ class RGTrainer:
         history: Dict[str, List[float]] = {"train_loss": [], "val_loss": [],
                                            "train_acc_mask": [], "val_acc_mask": []}
         best_val = float("inf")
-        for epoch in range(epochs):
+        start_epoch = 0
+        if resume_from:
+            blob = load_resume_checkpoint(resume_from)
+            ts = blob["train_state"]
+            state = TrainState(params=ts["params"], batch_stats=ts["batch_stats"],
+                               opt_state=ts["opt_state"],
+                               step=jnp.asarray(ts["step"]))
+            rng.bit_generator.state = blob["numpy_rng_state"]
+            dropout_key = jnp.asarray(blob["dropout_key"])
+            history = blob["history"]
+            best_val = blob["best_val"]
+            start_epoch = blob["epoch"] + 1
+            log_fn(f"resumed from {resume_from} at epoch {start_epoch}")
+        for epoch in range(start_epoch, epochs):
             lr = self.lr_at_epoch(epoch)
             dropout_key, sub = jax.random.split(dropout_key)
             state, tr_ms = train_epoch(state, data, make_order(train_idx, True),
@@ -265,4 +287,8 @@ class RGTrainer:
                         "num_classes": self.model.num_classes,
                     },
                 })
+            if resume_path:
+                save_resume_checkpoint(resume_path, state, epoch=epoch,
+                                       numpy_rng=rng, dropout_key=dropout_key,
+                                       history=history, best_val=best_val)
         return state, history

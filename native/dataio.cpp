@@ -257,6 +257,41 @@ int load_one(const char* path, int size, bool gray, float* out) {
   return 0;
 }
 
+// uint8 variant: identical decode/resize/round, but emits the rounded bytes
+// directly — the natural feed for the device-side normalize (ops/image.py),
+// skipping the float conversion and shrinking the host buffer 4x.
+int load_one_u8(const char* path, int size, bool gray, unsigned char* out) {
+  Image img;
+  if (!decode_file(path, &img)) return 1;
+
+  int c = gray ? 1 : 3;
+  std::vector<float> buf(size_t(img.w) * img.h * c);
+  if (gray) {
+    if (img.c == 1) {
+      for (size_t i = 0; i < buf.size(); i++) buf[i] = img.data[i];
+    } else {
+      for (size_t i = 0; i < size_t(img.w) * img.h; i++)
+        buf[i] = to_gray(img.data[i * 3], img.data[i * 3 + 1], img.data[i * 3 + 2]);
+    }
+  } else {
+    if (img.c == 3) {
+      for (size_t i = 0; i < buf.size(); i++) buf[i] = img.data[i];
+    } else {
+      for (size_t i = 0; i < size_t(img.w) * img.h; i++)
+        buf[i * 3] = buf[i * 3 + 1] = buf[i * 3 + 2] = img.data[i];
+    }
+  }
+
+  std::vector<float> resized;
+  resize_bicubic(buf, img.w, img.h, c, size, &resized);
+  for (size_t i = 0; i < resized.size(); i++) {
+    double v = std::round(resized[i]);
+    v = v < 0.0 ? 0.0 : (v > 255.0 ? 255.0 : v);
+    out[i] = static_cast<unsigned char>(v);
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -280,6 +315,39 @@ int cmt_load_batch(const char** paths, int n, int size, int gray,
       int i = next.fetch_add(1);
       if (i >= n) return;
       int rc = load_one(paths[i], size, gray != 0, out + stride * i);
+      status[i] = rc;
+      if (rc) failures.fetch_add(1);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
+}
+
+// uint8 single-image load. out must hold size*size*(gray?1:3) bytes.
+int cmt_load_image_u8(const char* path, int size, int gray,
+                      unsigned char* out) {
+  return load_one_u8(path, size, gray != 0, out);
+}
+
+// Threaded uint8 batch load — same contract as cmt_load_batch but the
+// output buffer is (n, size, size, c) uint8.
+int cmt_load_batch_u8(const char** paths, int n, int size, int gray,
+                      unsigned char* out, int* status, int n_threads) {
+  int c = gray ? 1 : 3;
+  size_t stride = size_t(size) * size * c;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = load_one_u8(paths[i], size, gray != 0, out + stride * i);
       status[i] = rc;
       if (rc) failures.fetch_add(1);
     }

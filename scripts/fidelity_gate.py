@@ -272,10 +272,222 @@ def stage_compare(test_samples, n_segments=500):
     print(json.dumps({k: v for k, v in report.items() if k != "per_image"}, indent=2))
 
 
+def _kg_tensor_sorted():
+    """Sorted-category KG tensor, matching build_ordered_kg_tensor
+    (test_multimodal.py:58-82)."""
+    z = np.load("artifacts/kg_embeddings/all_embeddings.npz")
+    cats = sorted(z.files)
+    return np.stack([z[c] for c in cats]).astype(np.float32), cats
+
+
+def _mask_label(mask: np.ndarray) -> tuple:
+    """train_multimodal.py:62-92 heuristic, sans the cv2 edge/contour branch
+    (both branches assign label 1; only confidence differs, and on CAM GT
+    masks mean_intensity dominates)."""
+    mean_intensity = float(mask.mean())
+    non_zero = float((mask > 10 / 255.0).mean())
+    if mean_intensity > 0.1 and non_zero > 0.05:
+        return 1, min(mean_intensity * 2, 1.0)
+    return 0, 1.0 - mean_intensity
+
+
+def stage_fusion_train(train_samples, epochs=8, batch_size=8, seed=0):
+    """Train the reference's OWN fusion model (fusion_model.py imported
+    verbatim) with its own recipe (train_multimodal.py:223-279: aggressive
+    focal 3.0 + CE 1.0 + BCE 0.5 + MSE 0.3, AdamW, clip 1.0) on embeddings
+    from the fidelity-trained torch RG model."""
+    from camouflage_multimodal_tpu.data.cod10k import load_mask
+    from reference_impl import RefRegionGraphGNN, load_reference_fusion_module
+
+    fm = load_reference_fusion_module()
+    tmodel = RefRegionGraphGNN()
+    tmodel.load_state_dict(torch.load(os.path.join(OUT_DIR, "best_model.pth"),
+                                      weights_only=True))
+    tmodel.eval()
+    kg_np, _ = _kg_tensor_sorted()
+    kg = torch.tensor(kg_np).unsqueeze(0)
+
+    samples = []
+    for base, img_p, mask_p, *_ in train_samples:
+        g = _load_graph(base)
+        with torch.no_grad():
+            emb = tmodel.extract_node_embeddings(
+                torch.tensor(g["features"]).float(),
+                torch.tensor(g["adjacency"]).float(),
+                torch.tensor(g["weights"]).float())
+        label, conf = _mask_label(load_mask(mask_p, 256))
+        samples.append({"emb": emb, "label": label, "conf": conf})
+    n1 = sum(s["label"] for s in samples)
+    print(f"[fusion-train] {len(samples)} samples, class1={n1}", flush=True)
+
+    torch.manual_seed(seed)
+    model_cfg = {"rg_dim": 128, "kg_dim": 128, "hidden_dim": 256,
+                 "num_heads": 8, "fusion_type": "cross_attention",
+                 "num_classes": 2, "dropout": 0.3}
+    fusion = fm.build_multimodal_model(model_cfg)
+    opt = torch.optim.AdamW(fusion.parameters(), lr=1e-4, weight_decay=1e-4)
+    focal = fm.__dict__.get("AggressiveFocalLoss")
+    if focal is None:  # focal loss lives in train_multimodal.py, not fusion_model
+        class _Focal(torch.nn.Module):
+            def __init__(self, alpha=0.75, gamma=3.0):
+                super().__init__()
+                self.alpha, self.gamma = alpha, gamma
+
+            def forward(self, logits, target):
+                ce = torch.nn.functional.cross_entropy(logits, target, reduction="none")
+                pt = torch.exp(-ce)
+                alpha_t = torch.where(target == 1, self.alpha, 1 - self.alpha)
+                return (alpha_t * (1 - pt) ** self.gamma * ce).mean()
+        focal = _Focal
+    focal_fn = focal()
+    bce = torch.nn.BCEWithLogitsLoss()
+    mse = torch.nn.MSELoss()
+    rng = np.random.default_rng(seed)
+
+    for epoch in range(epochs):
+        order = rng.permutation(len(samples))
+        tot, correct = 0.0, 0
+        fusion.train()
+        for s in range(0, len(order), batch_size):
+            opt.zero_grad()
+            for i in order[s:s + batch_size]:
+                sm = samples[i]
+                y = torch.tensor([sm["label"]])
+                mo, io, eo, so = fusion(sm["emb"].unsqueeze(0), kg)
+                loss = (focal_fn(mo, y) * 3.0
+                        + torch.nn.functional.cross_entropy(io, y) * 1.0
+                        + bce(eo.squeeze(1), y.float()) * 0.5
+                        + mse(so.squeeze(1), torch.tensor([sm["conf"]])) * 0.3)
+                loss.backward()
+                tot += float(loss.detach())
+                correct += int(mo.argmax(1).item() == sm["label"])
+            torch.nn.utils.clip_grad_norm_(fusion.parameters(), max_norm=1.0)
+            opt.step()
+        print(f"[fusion-train] epoch {epoch + 1}/{epochs} "
+              f"loss {tot / len(order):.4f} acc {100 * correct / len(order):.1f}%",
+              flush=True)
+
+    torch.save({"model_state_dict": fusion.state_dict(),
+                "config": {"model": model_cfg},
+                "epoch": epochs, "val_loss": tot / len(order),
+                "val_f1_class_1": 0.0, "val_f1_avg": 0.0,
+                "val_acc_0": 0.0, "val_acc_1": 0.0},
+               os.path.join(OUT_DIR, "multimodal_best.pth"))
+
+
+def stage_fusion_compare(test_samples):
+    """Composed multimodal fidelity: torch stack (reference graphs → torch RG
+    embeddings → reference fusion_model.py) vs the JAX MultimodalPredictor
+    under transplanted weights (test_multimodal.py:83-152 protocol).
+
+    Also reports a fusion-model-only split: the torch fusion model run on the
+    JAX pipeline's own node embeddings, isolating fusion-transplant fidelity
+    from upstream segmentation divergence."""
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from camouflage_multimodal_tpu.api import MultimodalPredictor
+    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+    from reference_impl import RefRegionGraphGNN, load_reference_fusion_module
+
+    fm = load_reference_fusion_module()
+    tmodel = RefRegionGraphGNN()
+    tmodel.load_state_dict(torch.load(os.path.join(OUT_DIR, "best_model.pth"),
+                                      weights_only=True))
+    tmodel.eval()
+    blob = torch.load(os.path.join(OUT_DIR, "multimodal_best.pth"),
+                      weights_only=False)
+    tfusion = fm.build_multimodal_model(blob["config"]["model"])
+    tfusion.load_state_dict(blob["model_state_dict"])
+    tfusion.eval()
+    kg_np, _ = _kg_tensor_sorted()
+    kg = torch.tensor(kg_np).unsqueeze(0)
+
+    pred = MultimodalPredictor(
+        fusion_checkpoint=os.path.join(OUT_DIR, "multimodal_best.pth"),
+        rg_checkpoint=os.path.join(OUT_DIR, "best_model.pth"),
+        kg_embeddings_path="artifacts/kg_embeddings/all_embeddings.npz")
+
+    per_image, agree_mask, agree_inst = [], [], []
+    score_mae, edge_mae, prob_mae = [], [], []
+    mo_agree, mo_score = [], []
+    for base, img_p, *_ in test_samples:
+        jp, jattn, _ = pred.predict_single_image(img_p)
+
+        g = _load_graph(base)
+        with torch.no_grad():
+            emb = tmodel.extract_node_embeddings(
+                torch.tensor(g["features"]).float(),
+                torch.tensor(g["adjacency"]).float(),
+                torch.tensor(g["weights"]).float())
+            mo, io, eo, so, _ = tfusion(emb.unsqueeze(0), kg,
+                                        return_attention=True)
+        t_mask, t_inst = int(mo.argmax(1)), int(io.argmax(1))
+        t_prob = torch.softmax(mo, 1)[0].numpy()
+        agree_mask.append(float(t_mask == jp["mask_pred"]))
+        agree_inst.append(float(t_inst == jp["instance_pred"]))
+        score_mae.append(abs(float(so[0, 0]) - jp["score"]))
+        edge_mae.append(abs(float(torch.sigmoid(eo)[0, 0]) - jp["edge_prob"]))
+        prob_mae.append(float(np.abs(t_prob - np.asarray(jp["mask_prob"])).mean()))
+
+        # model-only split: torch fusion on the JAX pipeline's embeddings
+        img_u8 = (load_image_rgb(img_p, 256) * 255).round().astype(np.uint8)
+        rg_out = jax.device_get(pred.rg_pipeline(pred.rg_variables,
+                                                 img_u8[None]))
+        valid = rg_out["node_mask"][0]
+        j_emb = torch.tensor(np.asarray(rg_out["node_embeddings"][0][valid]))
+        with torch.no_grad():
+            mo2, _, _, so2, _ = tfusion(j_emb.unsqueeze(0), kg,
+                                        return_attention=True)
+        mo_agree.append(float(int(mo2.argmax(1)) == jp["mask_pred"]))
+        mo_score.append(abs(float(so2[0, 0]) - jp["score"]))
+
+        per_image.append({
+            "image": base, "mask_pred_agree": agree_mask[-1],
+            "instance_pred_agree": agree_inst[-1],
+            "score_abs_diff": score_mae[-1], "edge_prob_abs_diff": edge_mae[-1],
+            "mask_prob_mae": prob_mae[-1],
+            "model_only_mask_agree": mo_agree[-1],
+            "model_only_score_abs_diff": mo_score[-1]})
+
+    report = {
+        "n_test_images": len(test_samples),
+        "composed": {
+            "mask_pred_agreement": float(np.mean(agree_mask)),
+            "instance_pred_agreement": float(np.mean(agree_inst)),
+            "score_mae": float(np.mean(score_mae)),
+            "edge_prob_mae": float(np.mean(edge_mae)),
+            "mask_prob_mae": float(np.mean(prob_mae)),
+        },
+        "fusion_model_only": {
+            "mask_pred_agreement": float(np.mean(mo_agree)),
+            "score_mae": float(np.mean(mo_score)),
+        },
+        "gate": {"target": 0.95,
+                 "passed": bool(np.mean(agree_mask) >= 0.95)},
+        "notes": [
+            "torch side: the reference's own fusion_model.py (imported "
+            "verbatim) trained by the reference recipe "
+            "(train_multimodal.py:223-279) on fidelity-RG embeddings; JAX "
+            "side: MultimodalPredictor with both checkpoints transplanted "
+            "via core/torch_compat.",
+            "'composed' runs both full stacks from the image; "
+            "'fusion_model_only' feeds the JAX pipeline's embeddings to the "
+            "torch fusion model, isolating transplant fidelity.",
+        ],
+        "per_image": per_image,
+    }
+    with open("artifacts/fidelity_fusion_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items() if k != "per_image"},
+                     indent=2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
-                    choices=["all", "graphs", "train", "compare"])
+                    choices=["all", "graphs", "train", "compare",
+                             "fusion-train", "fusion-compare"])
     ap.add_argument("--n-train", type=int, default=120)
     ap.add_argument("--n-test", type=int, default=50)
     ap.add_argument("--epochs", type=int, default=30)
@@ -289,6 +501,10 @@ def main():
         stage_train(train_s, epochs=args.epochs)
     if args.stage in ("all", "compare"):
         stage_compare(test_s)
+    if args.stage in ("all", "fusion-train"):
+        stage_fusion_train(train_s)
+    if args.stage in ("all", "fusion-compare"):
+        stage_fusion_compare(test_s)
 
 
 if __name__ == "__main__":

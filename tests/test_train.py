@@ -234,3 +234,128 @@ def test_fusion_scan_trainer_synthetic(rng):
     assert len(history["train_loss"]) == 6
     assert history["train_loss"][-1] < history["train_loss"][0]
     assert history["val_f1_avg"][-1] > 0.8  # separable → near-perfect
+
+
+# ---------------------------------------------------------------------------
+# Mid-training resume: a resumed run must bit-match an uninterrupted one.
+# ---------------------------------------------------------------------------
+
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return len(la) == len(lb) and all(
+        np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb))
+
+
+def _kg_subgraphs(rng, n=24, nodes=8):
+    subs = []
+    for i in range(n):
+        k = nodes - (i % 3)
+        edges = [(a, b) for a in range(k) for b in range(a + 1, k)
+                 if rng.random() > 0.6]
+        subs.append({
+            "x": rng.standard_normal((k, 32)).astype(np.float32),
+            "edges": edges,
+            "y": float(rng.random()),
+        })
+    return subs
+
+
+def test_kg_trainer_resume_bitmatch(rng, tmp_path):
+    from camouflage_multimodal_tpu.train.train_kg import KGTrainer
+
+    subs = _kg_subgraphs(rng)
+    resume = str(tmp_path / "kg_resume.ckpt")
+
+    full = KGTrainer(max_nodes=8)
+    full_state, full_hist = full.fit(subs, epochs=4, batch_size=8,
+                                     checkpoint_path=None,
+                                     log_fn=lambda *_: None)
+
+    part = KGTrainer(max_nodes=8)
+    part.fit(subs, epochs=2, batch_size=8, checkpoint_path=None,
+             resume_path=resume, log_fn=lambda *_: None)
+    cont = KGTrainer(max_nodes=8)
+    cont_state, cont_hist = cont.fit(subs, epochs=4, batch_size=8,
+                                     checkpoint_path=None, resume_from=resume,
+                                     log_fn=lambda *_: None)
+
+    assert _tree_equal(full_state.params, cont_state.params)
+    assert _tree_equal(full_state.opt_state, cont_state.opt_state)
+    assert full_hist["train_loss"][2:] == cont_hist["train_loss"][2:]
+
+
+def test_fusion_trainer_resume_bitmatch(rng, tmp_path):
+    from camouflage_multimodal_tpu.train.train_fusion import FusionDataset, FusionTrainer
+
+    n, K, nkg = 16, 8, 4
+    samples = []
+    for i in range(n):
+        label = i % 2
+        samples.append({
+            "image_name": f"x{i}.jpg",
+            "rg_node_embeddings": rng.standard_normal((K, 128)).astype(np.float32),
+            "kg_embeddings": rng.standard_normal((nkg, 128)).astype(np.float32),
+            "label": label, "confidence": 1.0,
+            "edge_label": float(label), "score_label": float(label),
+        })
+    ds = FusionDataset.from_samples(samples, max_rg_nodes=K, augment=True)
+    resume = str(tmp_path / "fusion_resume.ckpt")
+    cfg = {"model_config": {"hidden_dim": 32, "num_heads": 4}}
+
+    full = FusionTrainer(**cfg)
+    full_state, full_hist = full.fit(ds, epochs=4, batch_size=4, use_scan=True,
+                                     log_fn=lambda *_: None)
+
+    part = FusionTrainer(**cfg)
+    part.fit(ds, epochs=2, batch_size=4, use_scan=True, resume_path=resume,
+             log_fn=lambda *_: None)
+    cont = FusionTrainer(**cfg)
+    cont_state, cont_hist = cont.fit(ds, epochs=4, batch_size=4, use_scan=True,
+                                     resume_from=resume, log_fn=lambda *_: None)
+
+    assert _tree_equal(full_state.params, cont_state.params)
+    assert full_hist["val_f1_avg"][2:] == cont_hist["val_f1_avg"][2:]
+
+
+def test_rg_trainer_resume_bitmatch(rng, tmp_path):
+    from camouflage_multimodal_tpu.train.train_rg import RGTrainer
+
+    class TinyDataset:
+        """Synthetic CODDataset stand-in: blobs on noise, 48x48."""
+
+        def __init__(self, n=8, size=48):
+            g = np.random.default_rng(7)
+            self.items = []
+            for _ in range(n):
+                img = g.random((size, size, 3)).astype(np.float32)
+                yy, xx = np.mgrid[:size, :size]
+                cy, cx = g.integers(12, size - 12, 2)
+                mask = ((yy - cy) ** 2 + (xx - cx) ** 2 < 100).astype(np.float32)
+                self.items.append((img, mask))
+
+        def __len__(self):
+            return len(self.items)
+
+        def load_batch(self, idx):
+            imgs = np.stack([self.items[i][0] for i in idx])
+            masks = np.stack([self.items[i][1] for i in idx])
+            return {"image": imgs, "mask": masks,
+                    "instance": masks, "edge": np.zeros_like(masks)}
+
+    ds = TinyDataset()
+    resume = str(tmp_path / "rg_resume.ckpt")
+    kw = dict(n_segments=16, max_nodes=32, slic_iters=2)
+
+    full_state, full_hist = RGTrainer(**kw).fit(
+        ds, epochs=4, batch_size=4, checkpoint_path=None,
+        log_fn=lambda *_: None)
+
+    RGTrainer(**kw).fit(ds, epochs=2, batch_size=4, checkpoint_path=None,
+                        resume_path=resume, log_fn=lambda *_: None)
+    cont_state, cont_hist = RGTrainer(**kw).fit(
+        ds, epochs=4, batch_size=4, checkpoint_path=None, resume_from=resume,
+        log_fn=lambda *_: None)
+
+    assert _tree_equal(full_state.params, cont_state.params)
+    assert full_hist["train_loss"][2:] == cont_hist["train_loss"][2:]
