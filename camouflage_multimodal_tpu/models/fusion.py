@@ -56,16 +56,19 @@ class _MHA(nn.Module):
             "bv": self.param("bv", nn.initializers.zeros, (self.embed_dim,)),
             "bo": self.param("bo", nn.initializers.zeros, (self.embed_dim,)),
         }
-        if self.use_pallas and deterministic:
+        if self.use_pallas and (deterministic or self.dropout == 0.0):
+            # Fused kernel with a custom VJP (recompute backward), so it also
+            # serves dropout-free training; attention-probs dropout (the
+            # torch-MHA training behavior) keeps the jnp path below.
             from camouflage_multimodal_tpu.ops.pallas_attention import (
-                pallas_multihead_attention,
+                pallas_multihead_attention_trainable,
             )
 
             mask = key_mask
             if mask is None:
                 mask = jnp.ones(k.shape[:2], dtype=bool)
-            return pallas_multihead_attention(params, q, k, v, self.num_heads,
-                                              key_mask=mask)
+            return pallas_multihead_attention_trainable(params, q, k, v,
+                                                        self.num_heads, mask)
         rng = None
         rate = 0.0
         if not deterministic and self.dropout > 0:

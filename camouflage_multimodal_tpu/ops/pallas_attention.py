@@ -104,3 +104,51 @@ def pallas_multihead_attention(
     out, probs = jax.vmap(one)(query.astype(jnp.float32), key.astype(jnp.float32),
                                value.astype(jnp.float32), key_mask)
     return out, probs
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward + exact VJP.
+#
+# The backward recomputes the attention intermediates from the (q, k, v,
+# params) residuals via the jnp reference path (ops/attention.py) — the
+# flash-attention recomputation strategy — so the fused kernel is usable
+# under jax.grad. Gradients are bit-identical to differentiating the jnp
+# path (both run f32 HIGHEST matmuls) because the primal outputs match.
+# Note: no attention-probs dropout inside the kernel — callers that train
+# with attention dropout (the reference default) keep the jnp path.
+# ---------------------------------------------------------------------------
+
+
+def _default_interpret() -> bool:
+    """Interpret mode off TPU so the grad-capable path runs under the forced
+    CPU test platform too."""
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_multihead_attention_trainable(params, query, key, value,
+                                         num_heads, key_mask):
+    """Grad-capable fused MHA: Pallas forward, analytic recompute backward."""
+    return pallas_multihead_attention(params, query, key, value, num_heads,
+                                      key_mask, interpret=_default_interpret())
+
+
+def _pallas_mha_fwd(params, query, key, value, num_heads, key_mask):
+    out = pallas_multihead_attention(params, query, key, value, num_heads,
+                                     key_mask, interpret=_default_interpret())
+    return out, (params, query, key, value, key_mask)
+
+
+def _pallas_mha_bwd(num_heads, residuals, cotangents):
+    from camouflage_multimodal_tpu.ops.attention import multihead_attention
+
+    params, query, key, value, key_mask = residuals
+    _, vjp = jax.vjp(
+        lambda p, q, k, v: multihead_attention(p, q, k, v, num_heads,
+                                               key_mask=key_mask),
+        params, query, key, value)
+    d_params, d_q, d_k, d_v = vjp(cotangents)
+    return d_params, d_q, d_k, d_v, None  # mask is non-differentiable
+
+
+pallas_multihead_attention_trainable.defvjp(_pallas_mha_fwd, _pallas_mha_bwd)
