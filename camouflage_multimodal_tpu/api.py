@@ -27,6 +27,7 @@ from camouflage_multimodal_tpu.core.artifacts import load_kg_embeddings
 from camouflage_multimodal_tpu.core.checkpoint import load_checkpoint
 from camouflage_multimodal_tpu.data.cod10k import load_image_rgb, load_mask
 from camouflage_multimodal_tpu.data.matcher import build_ordered_kg_tensor
+from camouflage_multimodal_tpu.eval.curves import batch_curve_metrics
 from camouflage_multimodal_tpu.eval.metrics import batch_evaluate, evaluate_segmentation
 from camouflage_multimodal_tpu.models.fusion import build_multimodal_model
 from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
@@ -287,7 +288,12 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
 
     preds = jnp.asarray(np.concatenate(heatmaps))
     gt = jnp.asarray(np.concatenate(gts))
-    return {k: float(v) for k, v in batch_evaluate(preds, gt, threshold).items()}
+    report = {k: float(v) for k, v in batch_evaluate(preds, gt, threshold).items()}
+    # Literature-comparable adaptive/curve forms (eval/curves.py): adp/mean/
+    # max E- and F-measure over 256 thresholds, one fused histogram pass.
+    report.update({k: float(v)
+                   for k, v in batch_curve_metrics(preds, gt).items()})
+    return report
 
 
 def visualize_prediction(image_path: str, predictions: Dict, attention_weights,

@@ -145,7 +145,9 @@ def cmd_train_fusion(args):
     trainer = FusionTrainer(model_config=cfg["model"],
                             learning_rate=cfg["learning_rate"],
                             weight_decay=cfg["weight_decay"],
-                            task_weights=cfg["task_weights"])
+                            task_weights=cfg["task_weights"],
+                            balanced=bool(getattr(args, "balanced", False)
+                                          or cfg.get("balanced", False)))
     os.makedirs(cfg["checkpoint_dir"], exist_ok=True)
     trainer.fit(dataset, epochs=cfg["epochs"], batch_size=cfg["batch_size"],
                 train_split=cfg["train_split"], seed=cfg["seed"],
@@ -257,6 +259,10 @@ def main(argv=None):
 
     p = sub.add_parser("train-fusion")
     _add_common(p)
+    p.add_argument("--balanced", action="store_true",
+                   help="replace the reference's hard-coded class-1 oversample "
+                        "boost + focal alpha with data-driven inverse-frequency "
+                        "forms (fixes the class-0 collapse on CAM-majority data)")
     p.set_defaults(func=cmd_train_fusion)
 
     p = sub.add_parser("detect")

@@ -150,6 +150,24 @@ class FusionDataset:
                          for c, cnt in counts.items()}
         return [class_weights[labels[i]] * confidences[i] for i in range(len(labels))]
 
+    def get_balanced_sample_weights(self) -> List[float]:
+        """Inverse-frequency weights × confidence.
+
+        The reference's "aggressive" sampler (train_multimodal.py:142-164)
+        hard-codes class 1 as the minority, but on COD10K-CAM data class 1
+        is the MAJORITY — the 5× boost then starves class 0 and collapses
+        the classifier toward class 1 (VERDICT r1: val_acc_0 ≈ 31%). This
+        variant boosts whichever class is actually rarer.
+        """
+        labels = self.get_labels()
+        confidences = [s["confidence"] for s in self.samples]
+        counts: Dict[int, int] = {}
+        for l in labels:
+            counts[l] = counts.get(l, 0) + 1
+        majority = max(counts.values())
+        class_weights = {c: majority / cnt for c, cnt in counts.items()}
+        return [class_weights[labels[i]] * confidences[i] for i in range(len(labels))]
+
     def collate(self, indices) -> Dict[str, np.ndarray]:
         """Pad a set of samples into one batch."""
         B = len(indices)
@@ -194,12 +212,19 @@ class FusionTrainer:
     def __init__(self, model: Optional[MultimodalCamouflageDetector] = None,
                  model_config: Optional[Dict[str, Any]] = None,
                  learning_rate: float = 5e-4, weight_decay: float = 1e-4,
-                 task_weights: Optional[Dict[str, float]] = None) -> None:
+                 task_weights: Optional[Dict[str, float]] = None,
+                 balanced: bool = False) -> None:
         self.model = model or build_multimodal_model(model_config or {})
         self.base_lr = learning_rate
         self.tx = make_adamw_tx(weight_decay)
         # Reference hardcoded 3.0/1.0/0.5/0.3 (train_multimodal.py:257-266).
         self.w = task_weights or {"mask": 3.0, "instance": 1.0, "edge": 0.5, "score": 0.3}
+        # balanced=True replaces the reference's class-1-boosting sampler +
+        # focal alpha with data-driven inverse-frequency forms (see
+        # FusionDataset.get_balanced_sample_weights). Off by default: the
+        # default run reproduces the reference recipe exactly.
+        self.balanced = balanced
+        self.focal_alpha = 0.75  # reference AggressiveFocalLoss alpha
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -215,7 +240,8 @@ class FusionTrainer:
 
     def _losses(self, out, batch):
         B = batch["y"].shape[0]
-        per_mask = jax.vmap(lambda lo, la: focal_loss(lo[None], la[None]))(
+        per_mask = jax.vmap(lambda lo, la: focal_loss(
+            lo[None], la[None], alpha=self.focal_alpha))(
             out["mask_logits"], batch["y"])
         per_inst = jax.vmap(lambda lo, la: weighted_cross_entropy(lo[None], la[None]))(
             out["instance_logits"], batch["y"])
@@ -227,6 +253,18 @@ class FusionTrainer:
         total = jnp.sum(self.w["mask"] * per_mask + self.w["instance"] * per_inst
                         + self.w["edge"] * per_edge + self.w["score"] * per_score)
         return total
+
+    def _sample_weights(self, dataset: "FusionDataset",
+                        train_idx: np.ndarray) -> np.ndarray:
+        """Oversampling weights; in balanced mode also sets the focal alpha
+        to the class-0 share of the train split (class-balanced alpha_t),
+        before the first train-step trace."""
+        if not self.balanced:
+            return np.asarray(dataset.get_aggressive_sample_weights())
+        labels = np.asarray(dataset.get_labels())
+        self.focal_alpha = float(np.clip(1.0 - labels[train_idx].mean(),
+                                         0.05, 0.95))
+        return np.asarray(dataset.get_balanced_sample_weights())
 
     def _train_step_impl(self, state, batch, lr, dropout_rng):
         def loss_fn(params):
@@ -322,7 +360,7 @@ class FusionTrainer:
         n_train = int(train_split * n)
         train_idx, val_idx = perm[:n_train], perm[n_train:]
 
-        weights = np.asarray(dataset.get_aggressive_sample_weights())
+        weights = self._sample_weights(dataset, train_idx)
         p = weights[train_idx] / weights[train_idx].sum()
 
         first = dataset.samples[0]
@@ -440,7 +478,7 @@ class FusionTrainer:
         n_train = int(train_split * n)
         train_idx, val_idx = perm[:n_train], perm[n_train:]
 
-        weights = np.asarray(dataset.get_aggressive_sample_weights())
+        weights = self._sample_weights(dataset, train_idx)
         train_weights = weights[train_idx]
         p = train_weights / train_weights.sum()
 

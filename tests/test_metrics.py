@@ -136,3 +136,76 @@ def test_s_region_matches_numpy_centroid_split():
         ref = np_s_region(pred, gt)
         got = float(_s_region(jnp.asarray(pred), jnp.asarray(gt)))
         assert got == pytest.approx(ref, abs=2e-2), (got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Curve / adaptive E- and F-measure (eval/curves.py) vs a naive numpy sweep.
+# ---------------------------------------------------------------------------
+
+def _np_e_measure(pred_bin, gt_bin):
+    n = pred_bin.size
+    ap = pred_bin - pred_bin.mean()
+    ag = gt_bin - gt_bin.mean()
+    align = 2 * ap * ag / (ap**2 + ag**2 + 1e-8)
+    em = ((align + 1) ** 2 / 4).sum() / (n - 1 + 1e-8)
+    if gt_bin.sum() == 0:
+        em = 1.0 - pred_bin.sum() / n
+    elif gt_bin.sum() == n:
+        em = pred_bin.sum() / n
+    return float(em)
+
+
+def _np_f_beta(pred_bin, gt_bin, beta2=0.3):
+    tp = float((pred_bin * gt_bin).sum())
+    prec = tp / (pred_bin.sum() + 1e-8)
+    rec = tp / (gt_bin.sum() + 1e-8)
+    return (1 + beta2) * prec * rec / (beta2 * prec + rec + 1e-8)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_threshold_curves_match_naive_sweep(seed):
+    from camouflage_multimodal_tpu.eval.curves import threshold_curves
+
+    rng = np.random.default_rng(seed)
+    pred = rng.random((48, 48)).astype(np.float32)
+    gt = (rng.random((48, 48)) > 0.7).astype(np.float32)
+    out = {k: np.asarray(v) for k, v in threshold_curves(pred, gt).items()}
+
+    q = np.clip(np.round(pred * 255), 0, 255)
+    e_naive = np.array([_np_e_measure((q >= k).astype(np.float64), gt)
+                        for k in range(256)])
+    f_naive = np.array([_np_f_beta((q >= k).astype(np.float64), gt)
+                        for k in range(256)])
+    np.testing.assert_allclose(out["e_curve"], e_naive, atol=1e-4)
+    np.testing.assert_allclose(out["f_curve"], f_naive, atol=1e-4)
+    assert abs(out["e_mean"] - e_naive.mean()) < 1e-4
+    assert abs(out["e_max"] - e_naive.max()) < 1e-4
+    assert abs(out["f_mean"] - f_naive.mean()) < 1e-4
+    assert abs(out["f_max"] - f_naive.max()) < 1e-4
+
+    t_adp = min(2 * pred.mean(), 1.0)
+    k_adp = min(int(np.floor(t_adp * 255)) + 1, 255)
+    assert abs(out["e_adaptive"] - e_naive[k_adp]) < 1e-4
+    assert abs(out["f_adaptive"] - f_naive[k_adp]) < 1e-4
+
+
+def test_threshold_curves_batched_and_degenerate():
+    from camouflage_multimodal_tpu.eval.curves import (batch_curve_metrics,
+                                                       threshold_curves)
+
+    rng = np.random.default_rng(1)
+    pred = rng.random((3, 32, 32)).astype(np.float32)
+    gt = np.stack([
+        (rng.random((32, 32)) > 0.5).astype(np.float32),
+        np.zeros((32, 32), np.float32),   # empty GT
+        np.ones((32, 32), np.float32),    # full GT
+    ])
+    out = threshold_curves(pred, gt)
+    assert out["e_curve"].shape == (3, 256)
+    # empty GT: E = 1 - pred_area/n; at threshold 0 the whole image is fg
+    assert abs(float(out["e_curve"][1, 0]) - 0.0) < 1e-6
+    # full GT: E = pred_area/n -> 1 at threshold 0
+    assert abs(float(out["e_curve"][2, 0]) - 1.0) < 1e-6
+    batch = batch_curve_metrics(pred, gt)
+    for k in ("e_adaptive", "e_mean", "e_max", "f_adaptive", "f_mean", "f_max"):
+        assert np.isfinite(float(batch[k]))
