@@ -254,13 +254,19 @@ def test_image_directory(predictor: MultimodalPredictor, image_dir: str,
 def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
                        n_segments: int = 500, batch_size: int = 16,
                        max_images: Optional[int] = None,
-                       threshold: float = 0.5) -> Dict[str, float]:
-    """Batched RG eval with fully on-device metrics (MAE/IoU/Dice/F1/S/E)."""
+                       threshold: float = 0.5,
+                       skip_images: int = 0) -> Dict[str, float]:
+    """Batched RG eval with fully on-device metrics (MAE/IoU/Dice/F1/S/E).
+
+    ``skip_images`` drops the first N files of the sorted listing — used to
+    hold out the tail of a directory whose head was the training split.
+    """
     model, variables = load_rg_model(checkpoint_path)
     pipeline = RegionGraphPipeline(model, n_segments=n_segments)
 
     files = sorted(f for f in os.listdir(image_dir)
                    if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
+    files = files[skip_images:]
     if max_images:
         files = files[:max_images]
 

@@ -48,7 +48,7 @@ _DEFAULT: Dict[str, Any] = {
         "num_classes": 2,
         "n_segments": 500,
         "image_size": 256,
-        "max_nodes": 512,       # padded node bucket (fixed shape for jit)
+        "max_nodes": 640,       # padded node bucket (fixed shape for jit; 23x23 SLIC grid = 529 -> 640)
         "slic_iters": 10,
         "slic_compactness": 10.0,
         "slic_sigma": 1.0,

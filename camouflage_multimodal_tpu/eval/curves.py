@@ -114,18 +114,24 @@ def threshold_curves(pred: jnp.ndarray, gt: jnp.ndarray) -> Dict[str, jnp.ndarra
     n_fg = tp[..., 0:1]  # threshold 0 binarizes everything to 1 -> tp = |fg|
     e_curve = _e_from_counts(tp, fp, n_fg, float(n_px))
     f_curve = _f_from_counts(tp, fp, n_fg)
+    iou_curve = tp / (n_fg + fp + _EPS)  # union = |fg| + fp
     idx = _adaptive_index(pred)
-    e_adp = jnp.take_along_axis(e_curve, idx[..., None], axis=-1)[..., 0]
-    f_adp = jnp.take_along_axis(f_curve, idx[..., None], axis=-1)[..., 0]
+
+    def at(curve):
+        return jnp.take_along_axis(curve, idx[..., None], axis=-1)[..., 0]
+
     return {
         "e_curve": e_curve,
         "f_curve": f_curve,
-        "e_adaptive": e_adp,
+        "iou_curve": iou_curve,
+        "e_adaptive": at(e_curve),
         "e_mean": jnp.mean(e_curve, axis=-1),
         "e_max": jnp.max(e_curve, axis=-1),
-        "f_adaptive": f_adp,
+        "f_adaptive": at(f_curve),
         "f_mean": jnp.mean(f_curve, axis=-1),
         "f_max": jnp.max(f_curve, axis=-1),
+        "iou_adaptive": at(iou_curve),
+        "iou_max": jnp.max(iou_curve, axis=-1),
     }
 
 

@@ -114,7 +114,7 @@ def get_graph_lib() -> Optional[ctypes.CDLL]:
 
 def build_region_graph(image: np.ndarray, n_segments: int = 500,
                        compactness: float = 10.0, sigma: float = 1.0,
-                       num_iters: int = 10, max_nodes: int = 512):
+                       num_iters: int = 10, max_nodes: int = 640):
     """CPU-native region-graph build (no-accelerator fallback of
     pipeline.build_region_graphs). image: (H, W, 3) float32 in [0,1].
 

@@ -47,7 +47,8 @@ def padded_nodes(n_segments: int, image_size: int, multiple: int = 128) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n_segments", "max_nodes", "slic_iters"))
 def build_region_graphs(images: jnp.ndarray, n_segments: int = 500,
-                        max_nodes: int = 512, slic_iters: int = 10) -> RegionGraphBatch:
+                        max_nodes: Optional[int] = None,
+                        slic_iters: int = 10) -> RegionGraphBatch:
     """images: (B, H, W, 3) float RGB in [0,1] → padded graph batch.
 
     Replaces ``create_region_graph`` (train.py:89-221) wholesale: one fused
@@ -59,6 +60,8 @@ def build_region_graphs(images: jnp.ndarray, n_segments: int = 500,
     # bottleneck on tunneled hosts).
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 255.0
+    if max_nodes is None:
+        max_nodes = padded_nodes(n_segments, images.shape[1])
 
     def one(img):
         seg = slic(img, n_segments=n_segments, num_iters=slic_iters)
@@ -75,11 +78,13 @@ def build_region_graphs(images: jnp.ndarray, n_segments: int = 500,
 @functools.partial(jax.jit, static_argnames=("n_segments", "max_nodes", "slic_iters"))
 def build_region_graphs_with_labels(
     images: jnp.ndarray, masks: jnp.ndarray, instances: jnp.ndarray,
-    edges_gt: jnp.ndarray, n_segments: int = 500, max_nodes: int = 512,
+    edges_gt: jnp.ndarray, n_segments: int = 500, max_nodes: Optional[int] = None,
     slic_iters: int = 10,
 ) -> Tuple[RegionGraphBatch, Dict[str, jnp.ndarray]]:
     """Training variant: also derives per-node GT labels with the reference's
     thresholds (mask>0.5, instance>0.5, edge>0.3 — train.py:168-176)."""
+    if max_nodes is None:
+        max_nodes = padded_nodes(n_segments, images.shape[1])
     batch = build_region_graphs(images, n_segments, max_nodes, slic_iters)
 
     def to01(x):

@@ -64,12 +64,15 @@ def rg_loss(outputs: Dict[str, jnp.ndarray], labels: Dict[str, jnp.ndarray],
 
 class RGTrainer:
     def __init__(self, model: Optional[RegionGraphGNN] = None,
-                 n_segments: int = 500, max_nodes: int = 512,
+                 n_segments: int = 500, max_nodes: Optional[int] = None,
                  learning_rate: float = 1e-3, weight_decay: float = 1e-4,
                  slic_iters: int = 10) -> None:
+        from camouflage_multimodal_tpu.pipeline import padded_nodes
         self.model = model or RegionGraphGNN()
         self.n_segments = n_segments
-        self.max_nodes = max_nodes
+        # None: sized lazily from the first batch's image size via the SLIC
+        # grid (the 23x23/529-cluster step grid at 256^2 pads to 640)
+        self.max_nodes = max_nodes or padded_nodes(n_segments, 256)
         self.slic_iters = slic_iters
         self.base_lr = learning_rate
         self.tx = make_adamw_tx(weight_decay)

@@ -96,17 +96,99 @@ void rgb_to_lab(const float* rgb, int n, double* lab) {
 }
 
 // ---------------------------------------------------------------------------
-// SLIC: same fixed-grid 9-candidate formulation as ops/slic.py
+// SLIC: skimage-contract formulation mirroring ops/slic.py — step-grid
+// seeds, ±step search box around the moving centers, strict-< first-k
+// tie-breaking, then connectivity enforcement (component split, min-size
+// merge into the raster-first large neighbor, sequential raster relabel).
 // ---------------------------------------------------------------------------
+
+static int enforce_connectivity_cpp(int32_t* seg, int H, int W, int n_segments) {
+  size_t n = size_t(H) * W;
+  int min_size = int(std::lround(0.5 * double(H) * W / n_segments));
+  std::vector<int32_t> comp(n, -1);
+  std::vector<int> comp_size;
+  std::vector<int32_t> stack;
+  // 4-connected components in raster order of first pixel
+  for (size_t i = 0; i < n; i++) {
+    if (comp[i] >= 0) continue;
+    int32_t id = int32_t(comp_size.size());
+    comp_size.push_back(0);
+    stack.clear();
+    stack.push_back(int32_t(i));
+    comp[i] = id;
+    while (!stack.empty()) {
+      int32_t p = stack.back();
+      stack.pop_back();
+      comp_size[id]++;
+      int y = p / W, x = p % W;
+      const int dy[4] = {-1, 1, 0, 0}, dx[4] = {0, 0, -1, 1};
+      for (int k = 0; k < 4; k++) {
+        int ny = y + dy[k], nx = x + dx[k];
+        if (ny < 0 || ny >= H || nx < 0 || nx >= W) continue;
+        int32_t q = ny * W + nx;
+        if (comp[q] < 0 && seg[q] == seg[p]) {
+          comp[q] = id;
+          stack.push_back(q);
+        }
+      }
+    }
+  }
+  int n_comp = int(comp_size.size());
+  // merge rounds: small component adopts the component of its raster-first
+  // large ring pixel (mirrors ops/connectivity.py)
+  for (int round = 0; round < 3; round++) {
+    std::vector<int32_t> absorb(n_comp);
+    for (int c = 0; c < n_comp; c++) absorb[c] = c;
+    bool any = false;
+    std::vector<int32_t> best(n_comp, int32_t(n));
+    for (size_t i = 0; i < n; i++) {
+      int32_t c = comp[i];
+      if (comp_size[c] >= min_size) continue;
+      int y = int(i) / W, x = int(i) % W;
+      const int dy[4] = {-1, 1, 0, 0}, dx[4] = {0, 0, -1, 1};
+      for (int k = 0; k < 4; k++) {
+        int ny = y + dy[k], nx = x + dx[k];
+        if (ny < 0 || ny >= H || nx < 0 || nx >= W) continue;
+        int32_t q = ny * W + nx;
+        if (comp[q] != c && comp_size[comp[q]] >= min_size && q < best[c])
+          best[c] = q;
+      }
+    }
+    for (int c = 0; c < n_comp; c++)
+      if (best[c] < int32_t(n)) {
+        absorb[c] = comp[best[c]];
+        any = true;
+      }
+    if (any) {
+      std::vector<int> new_size(n_comp, 0);
+      for (size_t i = 0; i < n; i++) {
+        comp[i] = absorb[comp[i]];
+        new_size[comp[i]]++;
+      }
+      comp_size = new_size;
+    } else {
+      break;
+    }
+  }
+  // sequential relabel in raster order of first pixel
+  std::vector<int32_t> rank(n_comp, -1);
+  int32_t next = 0;
+  for (size_t i = 0; i < n; i++) {
+    if (rank[comp[i]] < 0) rank[comp[i]] = next++;
+    seg[i] = rank[comp[i]];
+  }
+  return next;
+}
 
 void slic_run(const float* image, int H, int W, int n_segments,
               double compactness, double sigma, int num_iters, int32_t* segments,
-              int* gh_out, int* gw_out) {
-  int gh = std::max(1, int(std::lround(std::sqrt(double(n_segments) * H / W))));
-  int gw = std::max(1, int(std::lround(double(n_segments) / gh)));
+              int* n_labels_out) {
+  int step = std::max(1, int(std::lround(std::sqrt(double(H) * W / n_segments))));
+  std::vector<int> sy, sx;
+  for (int y = step / 2; y < H; y += step) sy.push_back(y);
+  for (int x = step / 2; x < W; x += step) sx.push_back(x);
+  int gh = int(sy.size()), gw = int(sx.size());
   int K = gh * gw;
-  *gh_out = gh;
-  *gw_out = gw;
 
   std::vector<double> lab(size_t(H) * W * 3);
   rgb_to_lab(image, H * W, lab.data());
@@ -122,41 +204,40 @@ void slic_run(const float* image, int H, int W, int n_segments,
     feat = lab;
   }
 
-  double S = std::sqrt(double(H) * W / K);
-  double ratio = (compactness / S) * (compactness / S);
+  double ratio = (compactness / step) * (compactness / step);
 
-  // centers: (L, a, b, y, x)
+  // centers: (L, a, b, y, x) seeded at the exact integer step grid
   std::vector<double> centers(size_t(K) * 5);
   for (int gy = 0; gy < gh; gy++)
     for (int gx = 0; gx < gw; gx++) {
-      double cy = (gy + 0.5) * H / gh;
-      double cx = (gx + 0.5) * W / gw;
-      int iy = std::min(int(cy), H - 1);
-      int ix = std::min(int(cx), W - 1);
+      int iy = sy[gy], ix = sx[gx];
       double* c = &centers[size_t(gy * gw + gx) * 5];
       for (int ch = 0; ch < 3; ch++) c[ch] = feat[(size_t(iy) * W + ix) * 3 + ch];
-      c[3] = cy;
-      c[4] = cx;
+      c[3] = iy;
+      c[4] = ix;
     }
 
   std::vector<int> cell_y(H), cell_x(W);
-  for (int y = 0; y < H; y++) cell_y[y] = std::min(y * gh / H, gh - 1);
-  for (int x = 0; x < W; x++) cell_x[x] = std::min(x * gw / W, gw - 1);
+  for (int y = 0; y < H; y++) cell_y[y] = std::min(y / step, gh - 1);
+  for (int x = 0; x < W; x++) cell_x[x] = std::min(x / step, gw - 1);
 
+  std::fill(segments, segments + size_t(H) * W, 0);
   std::vector<double> acc(size_t(K) * 6);
   for (int it = 0; it < num_iters; it++) {
-    // assignment
+    // assignment: 5x5 candidate cells, ±step box around the current center
     for (int y = 0; y < H; y++)
       for (int x = 0; x < W; x++) {
         const double* p = &feat[(size_t(y) * W + x) * 3];
         double best = 1e300;
-        int best_k = 0;
-        for (int dy = -1; dy <= 1; dy++)
-          for (int dx = -1; dx <= 1; dx++) {
+        int best_k = segments[size_t(y) * W + x];  // keep label if uncovered
+        for (int dy = -2; dy <= 2; dy++)
+          for (int dx = -2; dx <= 2; dx++) {
             int ny = cell_y[y] + dy, nx = cell_x[x] + dx;
             if (ny < 0 || ny >= gh || nx < 0 || nx >= gw) continue;
             int kk = ny * gw + nx;
             const double* c = &centers[size_t(kk) * 5];
+            if (std::abs(y - int(c[3])) > step || std::abs(x - int(c[4])) > step)
+              continue;
             double dc = (p[0] - c[0]) * (p[0] - c[0]) +
                         (p[1] - c[1]) * (p[1] - c[1]) +
                         (p[2] - c[2]) * (p[2] - c[2]);
@@ -190,6 +271,8 @@ void slic_run(const float* image, int H, int W, int n_segments,
           centers[size_t(kk) * 5 + c] = acc[size_t(kk) * 6 + c] / cnt;
     }
   }
+
+  *n_labels_out = enforce_connectivity_cpp(segments, H, W, n_segments);
 }
 
 // ---------------------------------------------------------------------------
@@ -485,10 +568,10 @@ int cmt_build_region_graph(const float* image, int H, int W, int n_segments,
                            double compactness, double sigma, int num_iters,
                            int K, int32_t* segments, float* features,
                            uint8_t* node_mask, float* weights, uint8_t* edges) {
-  int gh = 0, gw = 0;
+  int n_labels = 0;
   slic_run(image, H, W, n_segments, compactness, sigma, num_iters, segments,
-           &gh, &gw);
-  if (gh * gw > K) return -1;
+           &n_labels);
+  if (n_labels > K) return -1;
 
   size_t n = size_t(H) * W;
   std::vector<double> gray(n);
@@ -499,7 +582,7 @@ int cmt_build_region_graph(const float* image, int H, int W, int n_segments,
 
   region_features_run(image, segments, edges, H, W, K, features, node_mask);
   rag_run(segments, H, W, K, features, weights);
-  return gh * gw;
+  return n_labels;
 }
 
 }  // extern "C"

@@ -22,6 +22,7 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--images", type=int, default=256)
+    parser.add_argument("--eval-images", type=int, default=256)
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--image-size", type=int, default=256)
@@ -71,14 +72,16 @@ def main():
     with open(os.path.join(args.out, "rg_training_history.json"), "w") as f:
         json.dump(history, f, indent=2)
 
-    # Held-out eval with on-device metrics over images NOT in the train set.
-    print("evaluating on held-out images...")
+    # Held-out eval: skip the train images entirely (the train split is the
+    # sorted head of the directory) and score the next --eval-images files.
+    print(f"evaluating on {args.eval_images} held-out images...")
     metrics = evaluate_directory(
         ckpt,
         os.path.join(args.data_root, "images"),
         os.path.join(args.data_root, "gt_object"),
         n_segments=args.n_segments, batch_size=16,
-        max_images=args.images + 64,
+        skip_images=args.images,
+        max_images=args.eval_images,
     )
     with open(os.path.join(args.out, "rg_eval_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)

@@ -209,3 +209,21 @@ def test_threshold_curves_batched_and_degenerate():
     batch = batch_curve_metrics(pred, gt)
     for k in ("e_adaptive", "e_mean", "e_max", "f_adaptive", "f_mean", "f_max"):
         assert np.isfinite(float(batch[k]))
+
+
+def test_iou_curve_matches_naive():
+    from camouflage_multimodal_tpu.eval.curves import threshold_curves
+
+    rng = np.random.default_rng(7)
+    pred = rng.random((32, 32)).astype(np.float32)
+    gt = (rng.random((32, 32)) > 0.6).astype(np.float32)
+    out = threshold_curves(pred, gt)
+    q = np.clip(np.round(pred * 255), 0, 255)
+    ious = []
+    for k in range(256):
+        p = q >= k
+        inter = float((p * gt).sum())
+        union = float(p.sum() + gt.sum() - inter)
+        ious.append(inter / (union + 1e-8))
+    np.testing.assert_allclose(np.asarray(out["iou_curve"]), ious, atol=1e-4)
+    assert abs(float(out["iou_max"]) - max(ious)) < 1e-4

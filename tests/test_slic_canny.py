@@ -29,19 +29,38 @@ def test_grid_shape_near_target():
 def test_slic_segments_shape_and_range():
     rng = np.random.default_rng(0)
     img = rng.random((64, 64, 3)).astype(np.float32)
-    seg = np.asarray(slic(jnp.asarray(img), n_segments=64))
     gh, gw = grid_shape(64, 64, 64)
-    assert seg.shape == (64, 64)
-    assert seg.min() >= 0 and seg.max() < gh * gw
-    # Roughly all clusters should be populated on random data
-    assert len(np.unique(seg)) > 0.8 * gh * gw
+
+    # k-means phase: raw cluster ids, roughly all populated on random data
+    raw = np.asarray(slic(jnp.asarray(img), n_segments=64,
+                          enforce_connectivity=False))
+    assert raw.shape == (64, 64)
+    assert raw.min() >= 0 and raw.max() < gh * gw
+    assert len(np.unique(raw)) > 0.8 * gh * gw
+
+    # connectivity mode (default, skimage contract): sequential 0-based ids,
+    # each a 4-connected component of size >= min_size-ish after merging
+    seg = np.asarray(slic(jnp.asarray(img), n_segments=64))
+    uniq = np.unique(seg)
+    assert seg.min() == 0
+    np.testing.assert_array_equal(uniq, np.arange(len(uniq)))
+    from scipy import ndimage as ndi
+    for s in uniq[:20]:
+        n_comp = ndi.label(seg == s, structure=np.array(
+            [[0, 1, 0], [1, 1, 1], [0, 1, 0]]))[1]
+        assert n_comp == 1, f"segment {s} is disconnected"
 
 
 def test_slic_respects_strong_boundaries():
     """On a checkerboard, superpixels should not straddle the color edges:
     each segment should be (nearly) color-pure."""
     img = _checker()
-    seg = np.asarray(slic(jnp.asarray(img), n_segments=100, compactness=10.0))
+    # k-means phase: perfectly color-pure on a checkerboard. (The skimage
+    # connectivity pass deliberately merges tiny islands into an adjacent
+    # segment regardless of color — the reference shows the same ~26%
+    # impure fraction here, so purity is only a raw-phase property.)
+    seg = np.asarray(slic(jnp.asarray(img), n_segments=100, compactness=10.0,
+                          enforce_connectivity=False))
     gray = img[..., 0]
     impure = 0
     for s in np.unique(seg):
@@ -58,7 +77,9 @@ def test_slic_compactness_effect():
     img = rng.random((96, 96, 3)).astype(np.float32)
 
     def mean_spread(compactness):
-        seg = np.asarray(slic(jnp.asarray(img), n_segments=100, compactness=compactness))
+        seg = np.asarray(slic(jnp.asarray(img), n_segments=100,
+                              compactness=compactness,
+                              enforce_connectivity=False))
         yy, xx = np.mgrid[: img.shape[0], : img.shape[1]]
         spreads = []
         for s in np.unique(seg):
