@@ -55,12 +55,12 @@ def _load_images(n):
     return rng.random((n, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
 
 
-def _decode_batch_u8(paths):
+def _decode_batch_u8(paths, draft=False):
     """Native threaded C++ decode straight to uint8; PIL fallback."""
     from camouflage_multimodal_tpu import native
 
     if native.available():
-        batch, _ = native.load_batch_u8(paths, IMAGE_SIZE)
+        batch, _ = native.load_batch_u8(paths, IMAGE_SIZE, draft=draft)
         return batch
     from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
 
@@ -119,29 +119,34 @@ def main():
     # The decode worker prepares AND device_puts batch i+1 (uint8, 4x smaller
     # on the tunneled host link) while the device runs batch i.
     e2e_imgs_per_sec = None
+    e2e_draft_imgs_per_sec = None
     paths = _image_paths(4 * BATCH)
     if paths:
         if len(paths) < 4 * BATCH:
             paths = (paths * (4 * BATCH // len(paths) + 1))[: 4 * BATCH]
         path_batches = [paths[i * BATCH:(i + 1) * BATCH] for i in range(4)]
 
-        def produce(pb):
-            return jnp.asarray(_decode_batch_u8(pb))
+        def run_e2e(draft):
+            def produce(pb):
+                return jnp.asarray(_decode_batch_u8(pb, draft=draft))
 
-        # warm the uint8-input executable
-        pipe(rg_vars, fusion_vars, produce(path_batches[0]), kg)[
-            "heatmap"].block_until_ready()
+            # warm the uint8-input executable
+            pipe(rg_vars, fusion_vars, produce(path_batches[0]), kg)[
+                "heatmap"].block_until_ready()
 
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(produce, path_batches[0])
-            t0 = time.perf_counter()
-            last = None
-            for i in range(E2E_ITERS):
-                dev_batch = fut.result()
-                fut = ex.submit(produce, path_batches[(i + 1) % 4])
-                last = pipe(rg_vars, fusion_vars, dev_batch, kg)
-            last["heatmap"].block_until_ready()
-            e2e_imgs_per_sec = E2E_ITERS * BATCH / (time.perf_counter() - t0)
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(produce, path_batches[0])
+                t0 = time.perf_counter()
+                last = None
+                for i in range(E2E_ITERS):
+                    dev_batch = fut.result()
+                    fut = ex.submit(produce, path_batches[(i + 1) % 4])
+                    last = pipe(rg_vars, fusion_vars, dev_batch, kg)
+                last["heatmap"].block_until_ready()
+                return E2E_ITERS * BATCH / (time.perf_counter() - t0)
+
+        e2e_imgs_per_sec = run_e2e(draft=False)  # PIL-bit-exact decode
+        e2e_draft_imgs_per_sec = run_e2e(draft=True)  # DCT-scaled decode
 
     headline = e2e_imgs_per_sec if e2e_imgs_per_sec is not None else device_imgs_per_sec
     scope = ("host decode + " if e2e_imgs_per_sec is not None else "")
@@ -158,6 +163,10 @@ def main():
         "batch": BATCH,
         "backend": jax.default_backend(),
     }
+    if e2e_draft_imgs_per_sec is not None:
+        result["draft_decode_imgs_per_sec"] = round(e2e_draft_imgs_per_sec, 3)
+        result["draft_decode_vs_baseline"] = round(
+            e2e_draft_imgs_per_sec / baseline_imgs_per_sec, 2)
     print(json.dumps(result))
 
 

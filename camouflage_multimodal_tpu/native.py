@@ -59,6 +59,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
         lib.cmt_load_batch_u8.restype = ctypes.c_int
+        lib.cmt_load_batch_u8_draft.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.cmt_load_batch_u8_draft.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -174,10 +180,17 @@ def load_batch(paths: List[str], size: int = 256, gray: bool = False,
 
 
 def load_batch_u8(paths: List[str], size: int = 256, gray: bool = False,
-                  n_threads: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+                  n_threads: Optional[int] = None,
+                  draft: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Threaded batch decode straight to uint8 (PIL-rounded bytes) — the
     natural feed for the device-side normalize (ops/image.py), 4x smaller
-    on the host link than the float path. Returns (batch uint8, ok)."""
+    on the host link than the float path. Returns (batch uint8, ok).
+
+    ``draft=True`` decodes JPEGs at the smallest libjpeg M/8 DCT scale that
+    still covers ``size`` on both axes — the IDCT itself performs a
+    high-quality low-pass downsample, cutting decode+resize work ~2x. The
+    result deviates slightly from the full-resolution PIL chain (PNG inputs
+    are unaffected); use for throughput-bound inference, not parity tests."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native dataio unavailable")
@@ -188,9 +201,9 @@ def load_batch_u8(paths: List[str], size: int = 256, gray: bool = False,
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if n_threads is None:
         n_threads = min(max(os.cpu_count() or 1, 1), 8)
-    lib.cmt_load_batch_u8(arr, n, size, int(gray),
-                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                          status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                          n_threads)
+    lib.cmt_load_batch_u8_draft(arr, n, size, int(gray), int(draft),
+                                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                                n_threads)
     shape = (n, size, size) if gray else (n, size, size, 3)
     return out.reshape(shape), status == 0

@@ -160,17 +160,30 @@ def test_native_loader_matches_pil(sample_image_paths):
     p = sample_image_paths[0]
     a = native.load_image(p, 256)
     b = load_image_rgb(p, 256)
-    assert np.abs(a - b).max() <= 2.0 / 255.0  # JPEG IDCT rounding tolerance
+    # The fixed-point resample is Pillow's own algorithm: bit-exact.
+    assert np.abs(a - b).max() == 0.0
 
     base = os.path.splitext(os.path.basename(p))[0]
     gt = os.path.join(REF, "data/COD10K/gt_object", base + ".png")
     if os.path.exists(gt):
         am = native.load_image(gt, 256, gray=True)
         bm = load_mask(gt, 256)
-        np.testing.assert_allclose(am, bm, atol=1.0 / 255.0)
+        np.testing.assert_allclose(am, bm, atol=0.0)
 
     batch, ok = native.load_batch(sample_image_paths[:2], 128)
     assert batch.shape == (2, 128, 128, 3) and ok.all()
+
+    # Draft mode: DCT-scaled JPEG decode — close to the exact chain but not
+    # identical (PNG masks are unaffected by the flag).
+    exact, ok1 = native.load_batch_u8(sample_image_paths[:2], 256)
+    draft, ok2 = native.load_batch_u8(sample_image_paths[:2], 256, draft=True)
+    assert ok1.all() and ok2.all()
+    mae = np.abs(exact.astype(int) - draft.astype(int)).mean()
+    assert mae < 8.0, f"draft decode drifted too far from exact: MAE {mae}"
+    if os.path.exists(gt):
+        g1, _ = native.load_batch_u8([gt], 256, gray=True)
+        g2, _ = native.load_batch_u8([gt], 256, gray=True, draft=True)
+        assert np.array_equal(g1, g2)
 
 
 def test_multimodal_predictor_end_to_end(rg_setup, rg_store, kg_store_path, workdir):
