@@ -255,18 +255,24 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
                        n_segments: int = 500, batch_size: int = 16,
                        max_images: Optional[int] = None,
                        threshold: float = 0.5,
-                       skip_images: int = 0) -> Dict[str, float]:
+                       skip_images: int = 0,
+                       files: Optional[List[str]] = None) -> Dict[str, float]:
     """Batched RG eval with fully on-device metrics (MAE/IoU/Dice/F1/S/E).
 
     ``skip_images`` drops the first N files of the sorted listing — used to
     hold out the tail of a directory whose head was the training split.
+    ``files`` (basenames inside ``image_dir``) overrides the directory
+    listing entirely — the hook for interleaved or CAM-only held-out splits
+    (COD10K's sorted tail is NonCAM background imagery whose empty GT makes
+    IoU/F1 degenerate).
     """
     model, variables = load_rg_model(checkpoint_path)
     pipeline = RegionGraphPipeline(model, n_segments=n_segments)
 
-    files = sorted(f for f in os.listdir(image_dir)
-                   if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
-    files = files[skip_images:]
+    if files is None:
+        files = sorted(f for f in os.listdir(image_dir)
+                       if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
+        files = files[skip_images:]
     if max_images:
         files = files[:max_images]
 
