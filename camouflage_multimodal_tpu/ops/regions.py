@@ -89,12 +89,6 @@ def _distinct_foreign_neighbors(seg: jnp.ndarray, offsets):
     return labs, keep
 
 
-def _scatter_sum(values: jnp.ndarray, labels: jnp.ndarray, weight: jnp.ndarray,
-                 num_segments: int) -> jnp.ndarray:
-    """segment_sum of weighted values: values (P, C), labels/weight (P,)."""
-    return jax.ops.segment_sum(values * weight[:, None], labels, num_segments=num_segments)
-
-
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarray,
                     num_segments: int) -> Dict[str, jnp.ndarray]:
@@ -163,13 +157,19 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
     compactness = peri**2 / (4.0 * math.pi * count[:, None] + 1e-10)
 
     # Boundary contrast: mean color of dilate₂(R) \ R vs mean color of R.
+    # One segment_sum per offset (12 unrolled), accumulating into (K, 4) —
+    # NOT one big scatter over an (H·W·12, 3) repeat of the image, whose
+    # materialized intermediate grows past HBM at 416²+ batch 16.
     labs2, keep2 = _distinct_foreign_neighbors(segments, _DIAMOND_2)
     n_off = labs2.shape[-1]
-    flat_labs2 = labs2.reshape(-1)
-    flat_keep2 = keep2.reshape(-1).astype(jnp.float32)
-    rep_img = jnp.repeat(img_flat[:, None, :], n_off, axis=1).reshape(-1, 3)
-    nb_sum = _scatter_sum(rep_img, flat_labs2, flat_keep2, K)
-    nb_cnt = jax.ops.segment_sum(flat_keep2, flat_labs2, num_segments=K)
+    img_aug = jnp.concatenate([img_flat, jnp.ones((H * W, 1), jnp.float32)], -1)
+    nb = jnp.zeros((K, 4), jnp.float32)
+    for i in range(n_off):
+        w = keep2[..., i].reshape(-1).astype(jnp.float32)
+        nb = nb + jax.ops.segment_sum(img_aug * w[:, None],
+                                      labs2[..., i].reshape(-1),
+                                      num_segments=K)
+    nb_sum, nb_cnt = nb[:, :3], nb[:, 3]
     nb_mean = nb_sum / jnp.maximum(nb_cnt, 1.0)[:, None]
     has_nb = (nb_cnt > 0)[:, None]
     contrast = jnp.where(

@@ -147,24 +147,38 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
                                       centers[:, 3], centers[:, 4],
                                       step, prev)
     else:
+        pix_ch = [pix_flat[:, ch] for ch in range(5)]   # (HW,) per channel
+
         def assign(centers, prev):
-            c = centers[cand_flat]                      # (HW, 25, 5)
-            d = pix_flat[:, None, :] - c                # (HW, 25, 5)
-            dist = (
-                jnp.sum(d[..., :3] ** 2, axis=-1)
-                + ratio * jnp.sum(d[..., 3:] ** 2, axis=-1)
-            )
-            # skimage's ±step search box around the CURRENT center
-            # (train-side slic windows: reference_pipeline.slic_np:156-158).
-            box = ((jnp.abs(py[:, None] - jnp.floor(c[..., 3])) <= step)
-                   & (jnp.abs(px[:, None] - jnp.floor(c[..., 4])) <= step))
-            dist = jnp.where(grid_flat & box, dist, jnp.inf)
-            best = jnp.argmin(dist, axis=-1)            # (HW,)
-            picked = jnp.take_along_axis(cand_flat, best[:, None], axis=-1)[:, 0]
+            # Running min over the 25 candidates (unrolled), each candidate
+            # evaluated with five 1-D channel gathers — never materializing
+            # an (HW, 25, 5) or even (HW, 5) buffer, whose last-dim lane
+            # padding (5 → 128) multiplies HBM use ~25× and OOMs at
+            # 352²+·batch 16. Strict `<` with the ascending-id candidate
+            # order reproduces argmin's first-minimum tie-breaking.
+            c_ch = [centers[:, ch] for ch in range(5)]  # (K,) per channel
+            best_dist = jnp.full(prev.shape, jnp.inf, jnp.float32)
+            best_id = prev
+            found = jnp.zeros(prev.shape, bool)
+            for i in range(cand_flat.shape[1]):
+                cid = cand_flat[:, i]
+                cy = c_ch[3][cid]
+                cx = c_ch[4][cid]
+                dist = ratio * ((pix_ch[3] - cy) ** 2 + (pix_ch[4] - cx) ** 2)
+                for ch in range(3):
+                    dist = dist + (pix_ch[ch] - c_ch[ch][cid]) ** 2
+                # skimage's ±step search box around the CURRENT center
+                # (train-side windows: reference_pipeline.slic_np:156-158).
+                valid = (grid_flat[:, i]
+                         & (jnp.abs(py - jnp.floor(cy)) <= step)
+                         & (jnp.abs(px - jnp.floor(cx)) <= step))
+                better = valid & (dist < best_dist)
+                best_dist = jnp.where(better, dist, best_dist)
+                best_id = jnp.where(better, cid, best_id)
+                found = found | valid
             # a pixel covered by no box keeps its previous label (skimage
             # leaves `labels` untouched where no window visits)
-            any_ok = jnp.isfinite(jnp.min(dist, axis=-1))
-            return jnp.where(any_ok, picked, prev)
+            return jnp.where(found, best_id, prev)
 
     def update(labels, centers):
         ones = jnp.ones((pix_flat.shape[0], 1), dtype=jnp.float32)
