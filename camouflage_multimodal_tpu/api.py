@@ -78,11 +78,13 @@ def detect_camouflage(image_path: str, checkpoint_path: str,
                       n_segments: int = 500,
                       pipeline: Optional[RegionGraphPipeline] = None,
                       variables: Optional[Dict[str, Any]] = None,
-                      save_figures: bool = True):
+                      save_figures: bool = True,
+                      image_size: int = 256):
     """Single-image RG detection (heatmap + bands + optional GT metrics)."""
     if pipeline is None or variables is None:
         model, variables = load_rg_model(checkpoint_path)
-        pipeline = RegionGraphPipeline(model, n_segments=n_segments)
+        pipeline = RegionGraphPipeline(model, n_segments=n_segments,
+                                       image_size=image_size)
 
     image = load_image_rgb(image_path, pipeline.image_size)
     u8 = (image[None] * 255.0).round().astype(np.uint8)  # less link traffic

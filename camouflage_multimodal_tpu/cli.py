@@ -159,7 +159,8 @@ def cmd_detect(args):
     from camouflage_multimodal_tpu.api import detect_camouflage
 
     heatmap, mean_score, classification, metrics = detect_camouflage(
-        args.image, args.model, args.output, args.mask)
+        args.image, args.model, args.output, args.mask,
+        n_segments=args.n_segments, image_size=args.image_size)
     print(f"Mean score: {mean_score:.4f}  →  {classification}")
     if metrics:
         for k in ("iou", "dice", "precision", "recall", "f1", "mae",
@@ -270,6 +271,9 @@ def main(argv=None):
     p.add_argument("--model", "-m", default="best_model.ckpt")
     p.add_argument("--mask", default=None)
     p.add_argument("--output", "-o", default="results")
+    # beyond-reference knobs (the reference hardcodes 500 segments / 256²)
+    p.add_argument("--n-segments", type=int, default=500)
+    p.add_argument("--image-size", type=int, default=256)
     p.set_defaults(func=cmd_detect)
 
     p = sub.add_parser("test-multimodal")
