@@ -44,7 +44,8 @@ def cmd_train_rg(args):
                         learning_rate=args.lr, weight_decay=1e-4)
     trainer.fit(ds, epochs=args.epochs, batch_size=args.batch_size,
                 train_split=cfg["train_split"], seed=cfg["seed"],
-                checkpoint_path=args.output)
+                checkpoint_path=args.output,
+                resume_from=args.resume_from, resume_path=args.resume_path)
 
 
 def cmd_extract_rg(args):
@@ -86,7 +87,8 @@ def cmd_train_kg(args):
     print(f"Created {len(dataset)} samples")
     trainer = KGTrainer(max_nodes=args.max_nodes)
     trainer.fit(dataset, epochs=args.epochs, batch_size=args.batch_size,
-                checkpoint_path=args.output)
+                checkpoint_path=args.output,
+                resume_from=args.resume_from, resume_path=args.resume_path)
 
 
 def cmd_extract_kg(args):
@@ -152,7 +154,8 @@ def cmd_train_fusion(args):
     trainer.fit(dataset, epochs=cfg["epochs"], batch_size=cfg["batch_size"],
                 train_split=cfg["train_split"], seed=cfg["seed"],
                 checkpoint_dir=cfg["checkpoint_dir"], config=cfg,
-                use_scan=bool(cfg.get("use_scan", len(dataset) >= 512)))
+                use_scan=bool(cfg.get("use_scan", len(dataset) >= 512)),
+                resume_from=args.resume_from, resume_path=args.resume_path)
 
 
 def cmd_detect(args):
@@ -208,12 +211,22 @@ def cmd_evaluate(args):
     print(json.dumps(metrics, indent=2))
 
 
+def _add_resume(p):
+    """Mid-training resume (params + opt state + epoch + RNG; beyond the
+    reference, which could only restart from scratch)."""
+    p.add_argument("--resume-path", default=None,
+                   help="write a full train-state snapshot here every epoch")
+    p.add_argument("--resume-from", default=None,
+                   help="continue training from a --resume-path snapshot")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="camouflage_multimodal_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("train-rg")
     _add_common(p)
+    _add_resume(p)
     p.add_argument("--image-dir", default=None)
     p.add_argument("--mask-dir", default=None)
     p.add_argument("--instance-dir", default=None)
@@ -248,6 +261,7 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=50)
     p.add_argument("--max-nodes", type=int, default=64)
     p.add_argument("--output", default="kg_gnn_model.ckpt")
+    _add_resume(p)
     p.set_defaults(func=cmd_train_kg)
 
     p = sub.add_parser("extract-kg")
@@ -260,6 +274,7 @@ def main(argv=None):
 
     p = sub.add_parser("train-fusion")
     _add_common(p)
+    _add_resume(p)
     p.add_argument("--balanced", action="store_true",
                    help="replace the reference's hard-coded class-1 oversample "
                         "boost + focal alpha with data-driven inverse-frequency "
