@@ -99,7 +99,12 @@ def main():
 
     def run(i):
         out = pipe(rg_vars, fusion_vars, batches[i % 2], kg)
-        out["heatmap"].block_until_ready()
+        # On this remote (axon) runtime, block_until_ready can return while
+        # the execution is still queued — a device→host pull of ONE scalar
+        # is the only reliable completion barrier, so every timed iteration
+        # ends with one. Without it the "device throughput" is just the
+        # dispatch rate (we measured 120k+ img/s of pure fantasy that way).
+        np.asarray(out["score"][0, 0])
         return out
 
     for i in range(WARMUP):
@@ -130,19 +135,20 @@ def main():
             def produce(pb):
                 return jnp.asarray(_decode_batch_u8(pb, draft=draft))
 
-            # warm the uint8-input executable
-            pipe(rg_vars, fusion_vars, produce(path_batches[0]), kg)[
-                "heatmap"].block_until_ready()
+            # warm the uint8-input executable (scalar pull = real barrier)
+            np.asarray(pipe(rg_vars, fusion_vars, produce(path_batches[0]),
+                            kg)["score"][0, 0])
 
             with ThreadPoolExecutor(max_workers=1) as ex:
                 fut = ex.submit(produce, path_batches[0])
                 t0 = time.perf_counter()
-                last = None
                 for i in range(E2E_ITERS):
                     dev_batch = fut.result()
                     fut = ex.submit(produce, path_batches[(i + 1) % 4])
-                    last = pipe(rg_vars, fusion_vars, dev_batch, kg)
-                last["heatmap"].block_until_ready()
+                    out = pipe(rg_vars, fusion_vars, dev_batch, kg)
+                    # Force THIS batch to complete before the next — the
+                    # honest pipelined rate, not the enqueue rate.
+                    np.asarray(out["score"][0, 0])
                 return E2E_ITERS * BATCH / (time.perf_counter() - t0)
 
         e2e_imgs_per_sec = run_e2e(draft=False)  # PIL-bit-exact decode

@@ -17,11 +17,16 @@ runs implicitly via skimage's ``enforce_connectivity=True`` default
 
 TPU formulation — no data-dependent shapes anywhere:
 
-* Connected components: iterative min-index propagation (4-neighbor stencil
-  min within equal input labels) interleaved with pointer jumping
-  (``comp = comp[comp]``), run under ``lax.while_loop`` to a fixed point.
-  The jump squares the propagation distance per sweep, so convergence is
-  O(log diameter) sweeps of O(H·W) work.
+* Connected components: alternating row/column **segmented min-scans**
+  (``lax.associative_scan`` with run-boundary resets at label changes),
+  run under ``lax.while_loop`` to a fixed point. Each sweep propagates the
+  min raster index along entire rows and columns at once with zero
+  gathers — dynamic gathers (the classic pointer-jumping ``comp[comp]``)
+  cost ~15 ms per sweep on this TPU for a 16×256² batch and dominated the
+  original formulation; scans are pure vector ops and make the whole pass
+  ~20× cheaper. Convergence takes O(staircase complexity of the
+  component) sweeps — single digits for SLIC fragments, which live inside
+  ±step search boxes.
 * Component sizes / merge targets: ``segment_sum`` / ``segment_min``
   scatters keyed by the component root (min pixel index — a canonical id
   that needs no compaction).
@@ -49,24 +54,48 @@ def _neighbor_shifts(x: jnp.ndarray, fill):
     return up, down, left, right
 
 
+def _seg_min_scan(comp: jnp.ndarray, labels: jnp.ndarray,
+                  axis: int) -> jnp.ndarray:
+    """Min of ``comp`` over each run of equal ``labels`` along ``axis``
+    (forward + backward segmented scans — no gathers)."""
+
+    def combine(a, b):
+        m1, r1 = a
+        m2, r2 = b
+        return jnp.where(r2, m2, jnp.minimum(m1, m2)), r1 | r2
+
+    def one_direction(reverse):
+        if reverse:
+            nxt = jnp.roll(labels, -1, axis=axis)
+            reset = labels != nxt
+            # last element along the axis starts a (reversed) run
+            idx = [slice(None)] * labels.ndim
+            idx[axis] = slice(-1, None)
+            reset = reset.at[tuple(idx)].set(True)
+        else:
+            prev = jnp.roll(labels, 1, axis=axis)
+            reset = labels != prev
+            idx = [slice(None)] * labels.ndim
+            idx[axis] = slice(0, 1)
+            reset = reset.at[tuple(idx)].set(True)
+        m, _ = jax.lax.associative_scan(combine, (comp, reset), axis=axis,
+                                        reverse=reverse)
+        return m
+
+    return jnp.minimum(one_direction(False), one_direction(True))
+
+
 def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel component root (min raster index) of the 4-connected
     components of an (H, W) int label map."""
     H, W = labels.shape
     HW = H * W
     idx = jnp.arange(HW, dtype=jnp.int32).reshape(H, W)
-    big = jnp.int32(HW)
-
-    lab_n = _neighbor_shifts(labels, -1)
 
     def sweep(comp):
-        comp_n = _neighbor_shifts(comp, big)
-        m = comp
-        for ln, cn in zip(lab_n, comp_n):
-            m = jnp.minimum(m, jnp.where(ln == labels, cn, big))
-        # pointer jumping: roots are fixed points of the flat mapping
-        m = m.ravel()[m.ravel()].reshape(H, W)
-        return m
+        comp = _seg_min_scan(comp, labels, axis=1)
+        comp = _seg_min_scan(comp, labels, axis=0)
+        return comp
 
     def cond(state):
         comp, prev_done = state
@@ -94,10 +123,30 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
 
     comp = connected_components(labels)
 
+    # Compact the root space ONCE: component roots are min pixel indices in
+    # [0, HW), but there are at most a few thousand components — ranking
+    # them first makes every merge-round scatter/gather work on a C-sized
+    # table instead of an HW-sized one (HW-table dynamic gathers are the
+    # single slowest primitive on this TPU). Raster order of first pixels
+    # equals ascending root order, so ranks ARE the sequential relabel.
+    C = min(16 * n_segments, HW)  # generous static bound on component count
+    flat = comp.ravel()
+    order = jnp.sort(flat)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (order[1:] != order[:-1]).astype(jnp.int32)])
+    ranks = jnp.cumsum(is_first) - 1
+    rank_of = jnp.zeros((HW,), jnp.int32).at[order].set(ranks)
+    # Clamp defends the static bound in pathological fragment blow-ups
+    # (merges any overflow fragments into the last id).
+    comp = jnp.minimum(rank_of[flat], C - 1).reshape(H, W)  # ids in [0, C)
+    # Root pixel (min raster index) per compact id — preserves raster order
+    # for the final relabel after merging.
+    root_pix = jax.ops.segment_min(idx_flat, comp.ravel(), num_segments=C)
+
     for _ in range(_MERGE_ROUNDS):
         flat = comp.ravel()
         sizes = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat,
-                                    num_segments=HW)
+                                    num_segments=C)
         small = (sizes[flat] < min_size).reshape(H, W)
 
         # For every pixel of a small component: raster index of 4-neighbors
@@ -113,18 +162,20 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
             best = jnp.minimum(best, jnp.where(ok, ni, big))
         best = jnp.where(small, best, big)
 
-        target_pix = jax.ops.segment_min(best.ravel(), flat, num_segments=HW)
-        # root -> absorbing root (large neighbor's component), else identity
+        target_pix = jax.ops.segment_min(best.ravel(), flat, num_segments=C)
+        # id -> absorbing id (large neighbor's component), else identity.
+        # flat[target_pix] is a C-sized gather from the pixel map.
         safe_pix = jnp.minimum(target_pix, big - 1)
         absorb = jnp.where(target_pix < big, flat[safe_pix],
-                           jnp.arange(HW, dtype=jnp.int32))
+                           jnp.arange(C, dtype=jnp.int32))
         comp = absorb[flat].reshape(H, W)
 
-    # Sequential raster-order relabel: rank the unique roots.
+    # Sequential relabel of survivors by raster order of their first pixel
+    # = ascending root_pix order (C-sized sort, not HW-sized).
     flat = comp.ravel()
-    order = jnp.sort(flat)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (order[1:] != order[:-1]).astype(jnp.int32)])
-    ranks = jnp.cumsum(is_first) - 1
-    rank_of = jnp.zeros((HW,), jnp.int32).at[order].set(ranks)
-    return rank_of[flat].reshape(H, W)
+    surv_pix = jnp.where(
+        jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat,
+                            num_segments=C) > 0,
+        root_pix, big)
+    rank = jnp.argsort(jnp.argsort(surv_pix))  # dense ranks by root pixel
+    return rank[flat].reshape(H, W)

@@ -147,38 +147,66 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
                                       centers[:, 3], centers[:, 4],
                                       step, prev)
     else:
-        pix_ch = [pix_flat[:, ch] for ch in range(5)]   # (HW,) per channel
+        # A pixel's candidate center for offset (dy, dx) is
+        # centers_grid[cell_y + dy, cell_x + dx], and cell_y/cell_x are the
+        # STATIC maps min(y//step, gh-1) — so the lookup is a shifted grid
+        # upsampled by `step` (repeat + edge-pad): pure broadcasts, ZERO
+        # runtime gathers. Dynamic gathers are the slowest primitive on
+        # this TPU (~15 ms per 16×256² sweep); this formulation cut the
+        # 10-iteration assign loop ~4×.
+        def _up_rows(g):
+            r = jnp.repeat(g, step, axis=0)
+            if r.shape[0] < H:
+                r = jnp.concatenate(
+                    [r, jnp.broadcast_to(r[-1:], (H - r.shape[0], r.shape[1]))])
+            return r[:H]
+
+        def _up_cols(g):
+            c = jnp.repeat(g, step, axis=1)
+            if c.shape[1] < W:
+                c = jnp.concatenate(
+                    [c, jnp.broadcast_to(c[:, -1:], (c.shape[0], W - c.shape[1]))],
+                    axis=1)
+            return c[:, :W]
+
+        def _upsample(g):
+            return _up_cols(_up_rows(g))
+
+        offsets = [(dy, dx) for dy in (-2, -1, 0, 1, 2)
+                   for dx in (-2, -1, 0, 1, 2)]
+        pix_ch2d = [pix[..., c] for c in range(5)]
+        py2d, px2d = pix_ch2d[3], pix_ch2d[4]
+        cand_maps = cand_flat.reshape(H, W, len(offsets))
+        valid_maps = grid_flat.reshape(H, W, len(offsets))
 
         def assign(centers, prev):
-            # Running min over the 25 candidates (unrolled), each candidate
-            # evaluated with five 1-D channel gathers — never materializing
-            # an (HW, 25, 5) or even (HW, 5) buffer, whose last-dim lane
-            # padding (5 → 128) multiplies HBM use ~25× and OOMs at
-            # 352²+·batch 16. Strict `<` with the ascending-id candidate
-            # order reproduces argmin's first-minimum tie-breaking.
-            c_ch = [centers[:, ch] for ch in range(5)]  # (K,) per channel
-            best_dist = jnp.full(prev.shape, jnp.inf, jnp.float32)
-            best_id = prev
-            found = jnp.zeros(prev.shape, bool)
-            for i in range(cand_flat.shape[1]):
-                cid = cand_flat[:, i]
-                cy = c_ch[3][cid]
-                cx = c_ch[4][cid]
-                dist = ratio * ((pix_ch[3] - cy) ** 2 + (pix_ch[4] - cx) ** 2)
-                for ch in range(3):
-                    dist = dist + (pix_ch[ch] - c_ch[ch][cid]) ** 2
+            # Running min over the 25 candidates (unrolled); strict `<`
+            # with the ascending-id offset order reproduces argmin's
+            # first-minimum tie-breaking.
+            g = centers.reshape(gh, gw, 5)
+            gpad = jnp.pad(g, ((2, 2), (2, 2), (0, 0)))
+            best_dist = jnp.full((H, W), jnp.inf, jnp.float32)
+            best_id = prev.reshape(H, W)
+            found = jnp.zeros((H, W), bool)
+            for i, (dy, dx) in enumerate(offsets):
+                sub = gpad[2 + dy: 2 + dy + gh, 2 + dx: 2 + dx + gw]
+                ch = [_upsample(sub[..., c]) for c in range(5)]
+                dist = ratio * ((py2d - ch[3]) ** 2 + (px2d - ch[4]) ** 2)
+                for c in range(3):
+                    dist = dist + (pix_ch2d[c] - ch[c]) ** 2
                 # skimage's ±step search box around the CURRENT center
                 # (train-side windows: reference_pipeline.slic_np:156-158).
-                valid = (grid_flat[:, i]
-                         & (jnp.abs(py - jnp.floor(cy)) <= step)
-                         & (jnp.abs(px - jnp.floor(cx)) <= step))
+                valid = (valid_maps[..., i]
+                         & (jnp.abs(py2d - jnp.floor(ch[3])) <= step)
+                         & (jnp.abs(px2d - jnp.floor(ch[4])) <= step))
                 better = valid & (dist < best_dist)
                 best_dist = jnp.where(better, dist, best_dist)
-                best_id = jnp.where(better, cid, best_id)
+                best_id = jnp.where(better, cand_maps[..., i], best_id)
                 found = found | valid
             # a pixel covered by no box keeps its previous label (skimage
             # leaves `labels` untouched where no window visits)
-            return jnp.where(found, best_id, prev)
+            return jnp.where(found, best_id,
+                             prev.reshape(H, W)).reshape(-1)
 
     def update(labels, centers):
         ones = jnp.ones((pix_flat.shape[0], 1), dtype=jnp.float32)
