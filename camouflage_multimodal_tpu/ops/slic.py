@@ -224,7 +224,16 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
         return labels, centers
 
     labels0 = jnp.zeros((pix_flat.shape[0],), jnp.int32)
-    labels, _ = jax.lax.fori_loop(0, num_iters, body, (labels0, centers0))
+    # num_iters-1 full (assign, update) rounds + one final assign: the last
+    # round's center update feeds nothing (labels are the output), and the
+    # update segment_sum is the costliest op in the loop (~2.3 ms/image at
+    # 352² — the TPU scatter floor). Labels are identical by construction.
+    if num_iters > 0:
+        labels, centers = jax.lax.fori_loop(0, num_iters - 1, body,
+                                            (labels0, centers0))
+        labels = assign(centers, labels)
+    else:
+        labels = labels0
     labels = labels.reshape(H, W).astype(jnp.int32)
 
     if enforce_connectivity:
