@@ -120,6 +120,25 @@ def main():
     p50_latency_ms = med / BATCH * 1000.0
     baseline_imgs_per_sec = 1.0 / REFERENCE_SECONDS_PER_IMAGE
 
+    # --- true batch=1 mask latency (BASELINE north star: p50 per-image mask
+    # latency). The throughput-derived p50 above divides a batch-16 median
+    # by 16; a single `detect` call compiles its own batch-1 executable and
+    # is necessarily slower per image — report it honestly alongside.
+    one = [jnp.asarray(raw[:1]), jnp.asarray(raw[BATCH:BATCH + 1])]
+
+    def run1(i):
+        out = pipe(rg_vars, fusion_vars, one[i % 2], kg)
+        np.asarray(out["score"][0, 0])  # real completion barrier
+
+    for i in range(WARMUP):
+        run1(i)
+    t1 = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        run1(i)
+        t1.append(time.perf_counter() - t0)
+    p50_batch1_ms = float(np.median(t1)) * 1000.0
+
     # --- end-to-end: native decode double-buffered against device compute ---
     # The decode worker prepares AND device_puts batch i+1 (uint8, 4x smaller
     # on the tunneled host link) while the device runs batch i.
@@ -166,6 +185,7 @@ def main():
         "device_only_imgs_per_sec": round(device_imgs_per_sec, 3),
         "device_only_vs_baseline": round(device_imgs_per_sec / baseline_imgs_per_sec, 2),
         "p50_per_image_ms": round(p50_latency_ms, 3),
+        "p50_batch1_ms": round(p50_batch1_ms, 3),
         "batch": BATCH,
         "backend": jax.default_backend(),
     }

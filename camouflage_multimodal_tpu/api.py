@@ -79,12 +79,17 @@ def detect_camouflage(image_path: str, checkpoint_path: str,
                       pipeline: Optional[RegionGraphPipeline] = None,
                       variables: Optional[Dict[str, Any]] = None,
                       save_figures: bool = True,
-                      image_size: int = 256):
-    """Single-image RG detection (heatmap + bands + optional GT metrics)."""
+                      image_size: int = 256,
+                      paint_mapping: str = "corrected"):
+    """Single-image RG detection (heatmap + bands + optional GT metrics).
+
+    ``paint_mapping="verbatim"`` reproduces the reference's shipped
+    (off-by-one) heatmaps; see :func:`pipeline.paint_segments`."""
     if pipeline is None or variables is None:
         model, variables = load_rg_model(checkpoint_path)
         pipeline = RegionGraphPipeline(model, n_segments=n_segments,
-                                       image_size=image_size)
+                                       image_size=image_size,
+                                       paint_mapping=paint_mapping)
 
     image = load_image_rgb(image_path, pipeline.image_size)
     u8 = (image[None] * 255.0).round().astype(np.uint8)  # less link traffic
@@ -258,7 +263,8 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
                        max_images: Optional[int] = None,
                        threshold: float = 0.5,
                        skip_images: int = 0,
-                       files: Optional[List[str]] = None) -> Dict[str, float]:
+                       files: Optional[List[str]] = None,
+                       data_parallel: Optional[bool] = None) -> Dict[str, float]:
     """Batched RG eval with fully on-device metrics (MAE/IoU/Dice/F1/S/E).
 
     ``skip_images`` drops the first N files of the sorted listing — used to
@@ -267,9 +273,22 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
     listing entirely — the hook for interleaved or CAM-only held-out splits
     (COD10K's sorted tail is NonCAM background imagery whose empty GT makes
     IoU/F1 degenerate).
+
+    ``data_parallel``: shard each batch over all local devices (a 1-D
+    ``data`` mesh). Default (None) = auto: on whenever >1 device is visible
+    and ``batch_size`` divides evenly, so multi-chip hosts are used without
+    any flag.
     """
     model, variables = load_rg_model(checkpoint_path)
-    pipeline = RegionGraphPipeline(model, n_segments=n_segments)
+    mesh = None
+    n_dev = len(jax.devices())
+    if data_parallel is None:
+        data_parallel = n_dev > 1 and batch_size % n_dev == 0
+    if data_parallel and n_dev > 1:
+        from camouflage_multimodal_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(model_axis=1)
+    pipeline = RegionGraphPipeline(model, n_segments=n_segments, mesh=mesh)
 
     if files is None:
         files = sorted(f for f in os.listdir(image_dir)

@@ -25,6 +25,26 @@ def _add_common(p):
     p.add_argument("--config", type=str, default=None, help="YAML config path")
 
 
+def _add_data_parallel(p):
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch axis over all local devices "
+                        "(jax.sharding data mesh; batch size must divide "
+                        "the device count)")
+
+
+def _maybe_mesh(args):
+    if not getattr(args, "data_parallel", False):
+        return None
+    import jax
+
+    from camouflage_multimodal_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(model_axis=1)
+    print(f"data-parallel over {len(jax.devices())} device(s): "
+          f"mesh {dict(mesh.shape)}")
+    return mesh
+
+
 def cmd_train_rg(args):
     import jax
 
@@ -45,7 +65,8 @@ def cmd_train_rg(args):
     trainer.fit(ds, epochs=args.epochs, batch_size=args.batch_size,
                 train_split=cfg["train_split"], seed=cfg["seed"],
                 checkpoint_path=args.output,
-                resume_from=args.resume_from, resume_path=args.resume_path)
+                resume_from=args.resume_from, resume_path=args.resume_path,
+                mesh=_maybe_mesh(args))
 
 
 def cmd_extract_rg(args):
@@ -155,7 +176,8 @@ def cmd_train_fusion(args):
                 train_split=cfg["train_split"], seed=cfg["seed"],
                 checkpoint_dir=cfg["checkpoint_dir"], config=cfg,
                 use_scan=bool(cfg.get("use_scan", len(dataset) >= 512)),
-                resume_from=args.resume_from, resume_path=args.resume_path)
+                resume_from=args.resume_from, resume_path=args.resume_path,
+                mesh=_maybe_mesh(args))
 
 
 def cmd_detect(args):
@@ -163,7 +185,8 @@ def cmd_detect(args):
 
     heatmap, mean_score, classification, metrics = detect_camouflage(
         args.image, args.model, args.output, args.mask,
-        n_segments=args.n_segments, image_size=args.image_size)
+        n_segments=args.n_segments, image_size=args.image_size,
+        paint_mapping=args.paint_mapping)
     print(f"Mean score: {mean_score:.4f}  →  {classification}")
     if metrics:
         for k in ("iou", "dice", "precision", "recall", "f1", "mae",
@@ -235,6 +258,7 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--output", default="best_model.ckpt")
+    _add_data_parallel(p)
     p.set_defaults(func=cmd_train_rg)
 
     p = sub.add_parser("extract-rg")
@@ -279,6 +303,7 @@ def main(argv=None):
                    help="replace the reference's hard-coded class-1 oversample "
                         "boost + focal alpha with data-driven inverse-frequency "
                         "forms (fixes the class-0 collapse on CAM-majority data)")
+    _add_data_parallel(p)
     p.set_defaults(func=cmd_train_fusion)
 
     p = sub.add_parser("detect")
@@ -289,6 +314,10 @@ def main(argv=None):
     # beyond-reference knobs (the reference hardcodes 500 segments / 256²)
     p.add_argument("--n-segments", type=int, default=500)
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--paint-mapping", choices=("corrected", "verbatim"),
+                   default="corrected",
+                   help="'verbatim' reproduces the reference's off-by-one "
+                        "heatmap paint-back (test.py:241-244) bug-compatibly")
     p.set_defaults(func=cmd_detect)
 
     p = sub.add_parser("test-multimodal")

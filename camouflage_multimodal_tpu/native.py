@@ -30,6 +30,35 @@ def _build() -> bool:
         return False
 
 
+def _bind_dataio(lib: ctypes.CDLL) -> None:
+    lib.cmt_load_image.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_float)]
+    lib.cmt_load_image.restype = ctypes.c_int
+    lib.cmt_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.cmt_load_batch.restype = ctypes.c_int
+    lib.cmt_load_image_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.cmt_load_image_u8.restype = ctypes.c_int
+    lib.cmt_load_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.cmt_load_batch_u8.restype = ctypes.c_int
+    lib.cmt_load_batch_u8_draft.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.cmt_load_batch_u8_draft.restype = ctypes.c_int
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
@@ -37,37 +66,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _tried = True
     if not os.path.exists(_SO_PATH) and not _build():
         return None
-    try:
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.cmt_load_image.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                                       ctypes.POINTER(ctypes.c_float)]
-        lib.cmt_load_image.restype = ctypes.c_int
-        lib.cmt_load_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
-        lib.cmt_load_batch.restype = ctypes.c_int
-        lib.cmt_load_image_u8.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.cmt_load_image_u8.restype = ctypes.c_int
-        lib.cmt_load_batch_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
-        lib.cmt_load_batch_u8.restype = ctypes.c_int
-        lib.cmt_load_batch_u8_draft.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
-        lib.cmt_load_batch_u8_draft.restype = ctypes.c_int
-        _lib = lib
-    except OSError:
-        _lib = None
+    for attempt in range(2):
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+            _bind_dataio(lib)
+            _lib = lib
+            break
+        # AttributeError = a stale .so missing a newer symbol; rebuild once
+        # and retry, else report unavailable so callers fall back to PIL
+        # (advisor round-2: dataset construction must not hard-fail here).
+        except (OSError, AttributeError):
+            _lib = None
+            if attempt == 0:
+                try:
+                    os.remove(_SO_PATH)
+                except OSError:
+                    pass
+                if not _build():
+                    break
     return _lib
 
 
@@ -102,19 +118,28 @@ def get_graph_lib() -> Optional[ctypes.CDLL]:
     so = os.path.join(_NATIVE_DIR, "libcmtgraph.so")
     if not os.path.exists(so) and not _build():
         return None
-    try:
-        lib = ctypes.CDLL(so)
-        lib.cmt_build_region_graph.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.cmt_build_region_graph.restype = ctypes.c_int
-        _graph_lib = lib
-    except OSError:
-        _graph_lib = None
+    for attempt in range(2):
+        try:
+            lib = ctypes.CDLL(so)
+            lib.cmt_build_region_graph.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.cmt_build_region_graph.restype = ctypes.c_int
+            _graph_lib = lib
+            break
+        except (OSError, AttributeError):
+            _graph_lib = None
+            if attempt == 0:
+                try:
+                    os.remove(so)
+                except OSError:
+                    pass
+                if not _build():
+                    break
     return _graph_lib
 
 

@@ -10,9 +10,11 @@ runs implicitly via skimage's ``enforce_connectivity=True`` default
 2. merge components smaller than ``min_size = 0.5·H·W/n_segments`` into an
    adjacent surviving component (skimage absorbs into the first
    raster-order assigned ring pixel; here: the component owning the
-   raster-first large-component ring pixel — identical except when a tiny
-   island's only earlier-assigned neighbor is another tiny island, a
-   sub-pixel-count corner case),
+   raster-first large-component ring pixel, iterated to a FIXED POINT
+   under ``lax.while_loop`` so chains of sub-min_size islands are fully
+   absorbed like skimage's single raster pass; an all-small blob with no
+   large contact additionally collapses small→smaller-id-small, so no
+   sub-min_size label survives except a whole-image blob),
 3. relabel survivors sequentially in raster order of their first pixel.
 
 TPU formulation — no data-dependent shapes anywhere:
@@ -42,7 +44,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_MERGE_ROUNDS = 3  # islands chained to islands (matches the reference pass)
+_MAX_MERGE_ROUNDS = 64  # safety bound on the merge fixpoint loop
 
 
 def _neighbor_shifts(x: jnp.ndarray, fill):
@@ -110,11 +112,25 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
     return comp
 
 
-@functools.partial(jax.jit, static_argnames=("n_segments", "min_size_factor"))
+@functools.partial(jax.jit, static_argnames=("n_segments", "min_size_factor",
+                                             "max_labels", "return_count"))
 def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
-                               min_size_factor: float = 0.5) -> jnp.ndarray:
+                               min_size_factor: float = 0.5,
+                               max_labels: int | None = None,
+                               return_count: bool = False):
     """skimage-contract connectivity pass; returns 0-based sequential
-    raster-ordered component labels."""
+    raster-ordered component labels.
+
+    ``max_labels`` (static) caps the emitted label ids at ``max_labels - 1``:
+    any raster-later survivors merge into the last in-bucket segment instead
+    of silently falling outside the caller's padded node bucket (where
+    ``segment_sum`` would drop them and paint-back gathers would clamp them
+    — advisor round-2 finding). With the fixpoint merge the survivor count
+    is bounded by ``2·n_segments`` (every survivor has ≥ min_size pixels),
+    so overflow is only reachable when the caller's bucket is smaller than
+    that worst case. ``return_count=True`` additionally returns the
+    pre-clamp survivor count so callers can detect/report overflow.
+    """
     H, W = labels.shape
     HW = H * W
     min_size = jnp.int32(round(min_size_factor * H * W / n_segments))
@@ -143,39 +159,74 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     # for the final relabel after merging.
     root_pix = jax.ops.segment_min(idx_flat, comp.ravel(), num_segments=C)
 
-    for _ in range(_MERGE_ROUNDS):
+    ident = jnp.arange(C, dtype=jnp.int32)
+    nbr_idx = _neighbor_shifts(idx_flat.reshape(H, W), big)
+
+    def merge_round(comp):
+        """One absorption round. Small components merge into the component
+        owning their raster-first LARGE ring pixel; a small component with
+        no large contact falls back to its raster-first smaller-id small
+        neighbor (ids are root-ranked, so the id order is the raster order
+        of first pixels — strictly decreasing targets, hence no merge
+        cycles and guaranteed fixpoint termination)."""
         flat = comp.ravel()
         sizes = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat,
                                     num_segments=C)
-        small = (sizes[flat] < min_size).reshape(H, W)
+        small = ((sizes < min_size)[flat]).reshape(H, W)
 
-        # For every pixel of a small component: raster index of 4-neighbors
-        # that belong to a LARGE component; segment_min over the component
-        # picks skimage's "first assigned ring pixel in raster order".
         comp_n = _neighbor_shifts(comp, -1)
         small_n = _neighbor_shifts(small, True)
-        nbr_idx = _neighbor_shifts(
-            idx_flat.reshape(H, W), big)
         best = jnp.full((H, W), big, jnp.int32)
+        best_fb = jnp.full((H, W), big, jnp.int32)
         for cn, sn, ni in zip(comp_n, small_n, nbr_idx):
-            ok = (cn >= 0) & (cn != comp) & (~sn)
-            best = jnp.minimum(best, jnp.where(ok, ni, big))
+            ok = (cn >= 0) & (cn != comp)
+            best = jnp.minimum(best, jnp.where(ok & ~sn, ni, big))
+            best_fb = jnp.minimum(best_fb, jnp.where(ok & sn & (cn < comp),
+                                                     ni, big))
+        best = jnp.where(best < big, best, best_fb)
         best = jnp.where(small, best, big)
 
         target_pix = jax.ops.segment_min(best.ravel(), flat, num_segments=C)
-        # id -> absorbing id (large neighbor's component), else identity.
+        # id -> absorbing id (ring-pixel owner's component), else identity.
         # flat[target_pix] is a C-sized gather from the pixel map.
         safe_pix = jnp.minimum(target_pix, big - 1)
-        absorb = jnp.where(target_pix < big, flat[safe_pix],
-                           jnp.arange(C, dtype=jnp.int32))
-        comp = absorb[flat].reshape(H, W)
+        absorb = jnp.where(target_pix < big, flat[safe_pix], ident)
+        # Resolve merge CHAINS to their final root before applying (C-sized
+        # pointer jumping): simultaneous A→B, B→C must send A to C, not
+        # leave a disconnected label "B" holding only A's pixels. Each
+        # chain edge is an adjacency, so the collapsed union stays
+        # 4-connected. Targets strictly descend in id (or hit a large comp,
+        # which never merges), so ceil(log2(C)) doublings resolve ANY chain
+        # exactly — a static fori_loop, cheaper to compile than a nested
+        # while under vmap.
+        n_jumps = max(int(C - 1).bit_length(), 1)
+        absorb = jax.lax.fori_loop(0, n_jumps, lambda _, m: m[m], absorb)
+        return absorb[flat].reshape(H, W), jnp.any(absorb != ident)
+
+    def merge_cond(state):
+        _, changed, rounds = state
+        return changed & (rounds < _MAX_MERGE_ROUNDS)
+
+    def merge_body(state):
+        comp, _, rounds = state
+        comp, changed = merge_round(comp)
+        return comp, changed, rounds + 1
+
+    comp, _, _ = jax.lax.while_loop(
+        merge_cond, merge_body, (comp, jnp.asarray(True), jnp.int32(0)))
 
     # Sequential relabel of survivors by raster order of their first pixel
     # = ascending root_pix order (C-sized sort, not HW-sized).
     flat = comp.ravel()
-    surv_pix = jnp.where(
-        jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat,
-                            num_segments=C) > 0,
-        root_pix, big)
+    n_pix = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat,
+                                num_segments=C)
+    surv_pix = jnp.where(n_pix > 0, root_pix, big)
     rank = jnp.argsort(jnp.argsort(surv_pix))  # dense ranks by root pixel
-    return rank[flat].reshape(H, W)
+    if max_labels is not None:
+        # Explicit overflow policy: raster-latest survivors collapse into
+        # the last in-bucket label instead of escaping the caller's bucket.
+        rank = jnp.minimum(rank, max_labels - 1)
+    out = rank[flat].reshape(H, W)
+    if return_count:
+        return out, jnp.sum(n_pix > 0)
+    return out

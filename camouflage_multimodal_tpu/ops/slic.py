@@ -62,11 +62,13 @@ def grid_shape(n_segments: int, height: int, width: int) -> Tuple[int, int]:
 @functools.partial(
     jax.jit,
     static_argnames=("n_segments", "compactness", "sigma", "num_iters",
-                     "convert_lab", "backend", "enforce_connectivity"),
+                     "convert_lab", "backend", "enforce_connectivity",
+                     "max_labels"),
 )
 def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
          sigma: float = 1.0, num_iters: int = 10, convert_lab: bool = True,
-         backend: str = "xla", enforce_connectivity: bool = True) -> jnp.ndarray:
+         backend: str = "xla", enforce_connectivity: bool = True,
+         max_labels: int | None = None) -> jnp.ndarray:
     """Segment an (H, W, 3) float RGB image in [0,1].
 
     Returns an (H, W) int32 label map: sequential raster-ordered component
@@ -240,5 +242,6 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
         from camouflage_multimodal_tpu.ops.connectivity import (
             enforce_label_connectivity)
 
-        labels = enforce_label_connectivity(labels, n_segments)
+        labels = enforce_label_connectivity(labels, n_segments,
+                                            max_labels=max_labels)
     return labels

@@ -64,7 +64,11 @@ def build_region_graphs(images: jnp.ndarray, n_segments: int = 500,
         max_nodes = padded_nodes(n_segments, images.shape[1])
 
     def one(img):
-        seg = slic(img, n_segments=n_segments, num_iters=slic_iters)
+        # max_labels=max_nodes: fragment-heavy images can exceed the gh·gw
+        # bucket; the connectivity pass clamps overflow explicitly instead
+        # of letting segment_sum drop those regions silently.
+        seg = slic(img, n_segments=n_segments, num_iters=slic_iters,
+                   max_labels=max_nodes)
         edges = canny(rgb_to_gray(img), sigma=2.0)
         reg = region_features(img, seg, edges, max_nodes)
         adj = region_adjacency(seg, max_nodes)
@@ -106,9 +110,26 @@ def build_region_graphs_with_labels(
     return batch, labels
 
 
-def paint_segments(segment_values: jnp.ndarray, segments: jnp.ndarray) -> jnp.ndarray:
+def paint_segments(segment_values: jnp.ndarray, segments: jnp.ndarray,
+                   mapping: str = "corrected") -> jnp.ndarray:
     """Per-segment values (B, K) → per-pixel map (B, H, W): the mask
-    reconstruction of region_graph/test.py:241-244 as a batched gather."""
+    reconstruction of region_graph/test.py:241-244 as a batched gather.
+
+    ``mapping="corrected"`` (default) paints each pixel with its own
+    region's value. ``mapping="verbatim"`` reproduces the reference's
+    off-by-one bug-compatibly: the reference builds ``region_id_map``
+    and applies it to edges (test.py:148,159-161) but indexes
+    ``mask_probs[region_id]`` with the RAW 1-based skimage label
+    (test.py:241-244), so every pixel shows the NEXT region's probability
+    and the raster-last region stays 0. With 0-based labels that is a
+    one-column shift of the padded value vector (padding is already 0).
+    """
+    if mapping == "verbatim":
+        segment_values = jnp.concatenate(
+            [segment_values[..., 1:], jnp.zeros_like(segment_values[..., :1])],
+            axis=-1)
+    elif mapping != "corrected":
+        raise ValueError(f"mapping must be 'corrected' or 'verbatim', got {mapping!r}")
     return jax.vmap(lambda v, s: v[s])(segment_values, segments)
 
 
@@ -122,13 +143,28 @@ class RegionGraphPipeline:
 
     def __init__(self, model: RegionGraphGNN, n_segments: int = 500,
                  image_size: int = 256, max_nodes: Optional[int] = None,
-                 slic_iters: int = 10) -> None:
+                 slic_iters: int = 10, paint_mapping: str = "corrected",
+                 mesh=None) -> None:
         self.model = model
         self.n_segments = n_segments
         self.image_size = image_size
         self.max_nodes = max_nodes or padded_nodes(n_segments, image_size)
         self.slic_iters = slic_iters
+        # "corrected" | "verbatim" — see paint_segments; "verbatim" gives
+        # bug-compatible reference heatmaps (test.py:241-244 off-by-one).
+        self.paint_mapping = paint_mapping
+        # Data-parallel mesh: batches shard over the ``data`` axis, the
+        # per-image pipeline runs embarrassingly parallel across chips.
+        self.mesh = mesh
         self._forward = jax.jit(self._forward_impl)
+
+    def _shard_images(self, images):
+        if self.mesh is None:
+            return images
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("data", *([None] * (images.ndim - 1)))
+        return jax.device_put(images, NamedSharding(self.mesh, spec))
 
     def _forward_impl(self, variables, images):
         batch = build_region_graphs(images, self.n_segments, self.max_nodes,
@@ -137,7 +173,7 @@ class RegionGraphPipeline:
                                batch.edge_weights, batch.node_mask)
         probs = jax.nn.softmax(out["mask_logits"], axis=-1)[..., 1]
         probs = jnp.where(batch.node_mask, probs, 0.0)
-        heatmap = paint_segments(probs, batch.segments)
+        heatmap = paint_segments(probs, batch.segments, self.paint_mapping)
         return {
             "heatmap": heatmap,                       # (B, H, W) in [0,1]
             "segments": batch.segments,
@@ -151,7 +187,7 @@ class RegionGraphPipeline:
         }
 
     def __call__(self, variables, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        return self._forward(variables, images)
+        return self._forward(variables, self._shard_images(images))
 
 
 class MultimodalPipeline:
@@ -188,4 +224,5 @@ class MultimodalPipeline:
         return out
 
     def __call__(self, rg_variables, fusion_variables, images, kg_tensor):
-        return self._forward(rg_variables, fusion_variables, images, kg_tensor)
+        return self._forward(rg_variables, fusion_variables,
+                             self.rg._shard_images(images), kg_tensor)

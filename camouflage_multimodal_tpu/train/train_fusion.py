@@ -225,8 +225,24 @@ class FusionTrainer:
         # default run reproduces the reference recipe exactly.
         self.balanced = balanced
         self.focal_alpha = 0.75  # reference AggressiveFocalLoss alpha
+        # Data-parallel mesh; set via fit(mesh=) before the epoch jits trace.
+        self.mesh = None
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _constrain_batch(self, batch):
+        """Pin the batch axis to the mesh's ``data`` axis (GSPMD shards the
+        step, all-reduces grads over ICI)."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def pin(x):
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(pin, batch)
 
     def init_state(self, rng: jax.Array, rg_dim: int = 128, n_kg: int = 13,
                    max_rg_nodes: int = 512) -> TrainState:
@@ -238,10 +254,10 @@ class FusionTrainer:
                           opt_state=self.tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 
-    def _losses(self, out, batch):
+    def _losses(self, out, batch, focal_alpha):
         B = batch["y"].shape[0]
         per_mask = jax.vmap(lambda lo, la: focal_loss(
-            lo[None], la[None], alpha=self.focal_alpha))(
+            lo[None], la[None], alpha=focal_alpha))(
             out["mask_logits"], batch["y"])
         per_inst = jax.vmap(lambda lo, la: weighted_cross_entropy(lo[None], la[None]))(
             out["instance_logits"], batch["y"])
@@ -266,13 +282,16 @@ class FusionTrainer:
                                          0.05, 0.95))
         return np.asarray(dataset.get_balanced_sample_weights())
 
-    def _train_step_impl(self, state, batch, lr, dropout_rng):
+    def _train_step_impl(self, state, batch, lr, dropout_rng, focal_alpha):
+        # focal_alpha is a TRACED scalar (not read from self at trace time):
+        # balanced mode recomputes it per fit() and a cached jit trace must
+        # not bake in a stale value (advisor round-2 finding).
         def loss_fn(params):
             out = self.model.apply(
                 {"params": params}, batch["rg"], batch["kg"],
                 rg_mask=batch["rg_mask"], train=True, rngs={"dropout": dropout_rng},
             )
-            total = self._losses(out, batch)
+            total = self._losses(out, batch, focal_alpha)
             preds = jnp.argmax(out["mask_logits"], -1)
             return total, preds
 
@@ -311,7 +330,7 @@ class FusionTrainer:
         return {k: jnp.asarray(v) for k, v in cols.items()}
 
     def _epoch_impl(self, train: bool, augment: bool, state: TrainState,
-                    data, order, lr, key):
+                    data, order, lr, key, focal_alpha):
         def step(carry, idx):
             st, k = carry
             k, k_flip, k1, k2, k_drop = jax.random.split(k, 5)
@@ -324,8 +343,10 @@ class FusionTrainer:
                 kg_noise = jax.random.normal(k2, batch["kg"].shape) * 0.01
                 batch["rg"] = batch["rg"] + rg_noise * flips[:, None, None]
                 batch["kg"] = batch["kg"] + kg_noise * flips[:, None, None]
+            batch = self._constrain_batch(batch)
             if train:
-                st, loss, preds = self._train_step_impl(st, batch, lr, k_drop)
+                st, loss, preds = self._train_step_impl(st, batch, lr, k_drop,
+                                                        focal_alpha)
             else:
                 loss, preds = self._eval_step_impl(st, batch)
             return (st, k), (loss, preds, batch["y"])
@@ -338,17 +359,21 @@ class FusionTrainer:
             checkpoint_dir: Optional[str] = None, max_patience: int = 15,
             config: Optional[Dict[str, Any]] = None, use_scan: bool = False,
             resume_from: Optional[str] = None, resume_path: Optional[str] = None,
+            mesh=None,
             log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
+        if mesh is not None and not use_scan:
+            use_scan = True  # the mesh path rides the device-resident epochs
         if use_scan:
             return self._fit_scan(dataset, epochs, batch_size, train_split, seed,
                                   checkpoint_dir, max_patience, config, log_fn,
-                                  resume_from=resume_from, resume_path=resume_path)
+                                  resume_from=resume_from, resume_path=resume_path,
+                                  mesh=mesh)
         return self._fit_loop(dataset, epochs, batch_size, train_split, seed,
                               checkpoint_dir, max_patience, config, log_fn)
 
     def _fit_scan(self, dataset, epochs, batch_size, train_split, seed,
                   checkpoint_dir, max_patience, config, log_fn,
-                  resume_from=None, resume_path=None):
+                  resume_from=None, resume_path=None, mesh=None):
         import functools
 
         from camouflage_multimodal_tpu.core.checkpoint import (
@@ -372,6 +397,20 @@ class FusionTrainer:
         )
         key = jax.random.PRNGKey(seed + 1)
         data = self._device_dataset(dataset)
+
+        self.mesh = mesh
+        if mesh is not None:
+            from camouflage_multimodal_tpu.parallel.sharding import (
+                replicate, shard_batch)
+
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"data axis ({n_data})")
+            data = shard_batch(data, mesh)
+            state = replicate(state, mesh)
+            key = replicate(key, mesh)
 
         train_epoch = jax.jit(functools.partial(self._epoch_impl, True, True),
                               donate_argnums=(0,))
@@ -409,14 +448,16 @@ class FusionTrainer:
             sampled = rng.choice(train_idx, size=len(train_idx), replace=True, p=p)
             key, sub = jax.random.split(key)
             state, losses, preds, ys = train_epoch(
-                state, data, order_of(sampled), jnp.asarray(lr, jnp.float32), sub)
+                state, data, order_of(sampled), jnp.asarray(lr, jnp.float32), sub,
+                jnp.asarray(self.focal_alpha, jnp.float32))
             tr_preds = np.asarray(preds).reshape(-1)
             tr_ys = np.asarray(ys).reshape(-1)
             train_f1 = calculate_f1_score(tr_preds, tr_ys)
             train_loss = float(np.sum(np.asarray(losses))) / max(len(tr_preds), 1)
 
             _, vlosses, vpreds, vys = eval_epoch(
-                state, data, val_order, jnp.asarray(lr, jnp.float32), sub)
+                state, data, val_order, jnp.asarray(lr, jnp.float32), sub,
+                jnp.asarray(self.focal_alpha, jnp.float32))
             va_preds = np.asarray(vpreds).reshape(-1)
             va_ys = np.asarray(vys).reshape(-1)
             val_f1 = calculate_f1_score(va_preds, va_ys)
@@ -507,8 +548,9 @@ class FusionTrainer:
                 idx = sampled[i: i + batch_size]
                 batch = {k: jnp.asarray(v) for k, v in dataset.collate(idx).items()}
                 dropout_key, sub = jax.random.split(dropout_key)
-                state, loss, preds = self._train_step(state, batch,
-                                                      jnp.asarray(lr, jnp.float32), sub)
+                state, loss, preds = self._train_step(
+                    state, batch, jnp.asarray(lr, jnp.float32), sub,
+                    jnp.asarray(self.focal_alpha, jnp.float32))
                 total_loss += float(loss)
                 all_preds.extend(np.asarray(preds).tolist())
                 all_labels.extend(np.asarray(batch["y"]).tolist())

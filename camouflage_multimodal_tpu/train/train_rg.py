@@ -76,8 +76,27 @@ class RGTrainer:
         self.slic_iters = slic_iters
         self.base_lr = learning_rate
         self.tx = make_adamw_tx(weight_decay)
+        # Data-parallel mesh (parallel/sharding.make_mesh); set via fit(mesh=)
+        # BEFORE the epoch jits trace. None = single-device (reference
+        # semantics on one chip).
+        self.mesh = None
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _constrain_batch(self, *arrays):
+        """Pin the leading (batch) axis of per-step tensors to the mesh's
+        ``data`` axis so GSPMD executes every step data-parallel and
+        all-reduces the grads over ICI (SURVEY §2.3 consequence)."""
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def pin(x):
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec))
+
+        return tuple(jax.tree_util.tree_map(pin, a) for a in arrays)
 
     def init_state(self, rng: jax.Array) -> TrainState:
         K = self.max_nodes
@@ -185,6 +204,8 @@ class RGTrainer:
             nmask = jnp.take(data["node_mask"], idx, axis=0)
             labels = {k: jnp.take(data[k], idx, axis=0)
                       for k in ("mask_labels", "instance_labels", "edge_labels")}
+            feats, w, adj, nmask, labels = self._constrain_batch(
+                feats, w, adj, nmask, labels)
             if train:
                 st, m = self._train_step_impl(st, feats, adj, w, nmask, labels, lr, sub)
             else:
@@ -200,14 +221,29 @@ class RGTrainer:
             weights_dtype=jnp.float32,
             resume_from: Optional[str] = None,
             resume_path: Optional[str] = None,
+            mesh=None,
             log_fn=print) -> Tuple[TrainState, Dict[str, List[float]]]:
         """Full training loop over a :class:`CODDataset`.
 
         ``resume_path`` writes a full-train-state snapshot (params + opt state
         + epoch + RNG states) every epoch; ``resume_from`` continues from one
-        bit-exactly (the reference trainers could only restart from scratch)."""
+        bit-exactly (the reference trainers could only restart from scratch).
+
+        ``mesh`` (a ``parallel.sharding.make_mesh`` mesh) shards the cached
+        dataset's sample axis and every step's batch axis over the ``data``
+        mesh axis — params stay replicated, GSPMD all-reduces the grads. The
+        loss trajectory matches single-device up to f32 reduction order
+        (tested on the 8-device CPU mesh)."""
         from camouflage_multimodal_tpu.core.checkpoint import (
             load_resume_checkpoint, save_resume_checkpoint)
+
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"data axis ({n_data})")
 
         rng = np.random.default_rng(seed)
         n = len(dataset)
@@ -220,6 +256,13 @@ class RGTrainer:
 
         data = self.build_cached_dataset(dataset, batch_size=max(batch_size, 16),
                                          weights_dtype=weights_dtype)
+        if mesh is not None:
+            from camouflage_multimodal_tpu.parallel.sharding import (
+                replicate, shard_batch)
+
+            data = shard_batch(data, mesh)  # dataset split across chips
+            state = replicate(state, mesh)
+            dropout_key = replicate(dropout_key, mesh)
 
         train_epoch = jax.jit(functools.partial(self._epoch_impl, True),
                               donate_argnums=(0,))

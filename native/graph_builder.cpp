@@ -2,8 +2,8 @@
 //
 // CPU counterpart of the device kernels in camouflage_multimodal_tpu/ops/
 // (slic.py, canny.py, regions.py, rag.py): SLIC superpixels on the same
-// fixed grid with the same 9-candidate assignment, skimage-style Canny with
-// exact flood-fill hysteresis, the 15-dim per-region features of the
+// fixed grid with the same 5×5-candidate + ±step-box assignment, skimage-
+// style Canny with exact flood-fill hysteresis, the 15-dim per-region features of the
 // reference pipeline (/root/reference/models/region_graph/train.py:112-179
 // semantics), and the 8-connectivity RAG with the Gaussian-product edge
 // weights. Used as a no-accelerator fallback and as an independent

@@ -44,9 +44,15 @@ OUT_DIR = "artifacts/fidelity"
 CACHE = os.path.join(OUT_DIR, "graphs")
 
 
-def quadruples(n_train: int, n_test: int):
-    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb  # noqa
+def category_of(base: str) -> str:
+    """COD10K environment token (CAM images) or 'NonCAM'."""
+    parts = base.split("-")
+    if len(parts) > 3 and parts[1] == "CAM":
+        return parts[3]
+    return "NonCAM"
 
+
+def _all_quadruples():
     names = []
     for p in sorted(glob.glob(os.path.join(REF_DATA, "images", "*.jpg"))):
         base = os.path.splitext(os.path.basename(p))[0]
@@ -54,9 +60,37 @@ def quadruples(n_train: int, n_test: int):
               for d in ("gt_object", "gt_instance", "gt_edge")]
         if all(os.path.exists(g) for g in gt):
             names.append((base, p, *gt))
-        if len(names) >= n_train + n_test:
-            break
-    return names[:n_train], names[n_train:n_train + n_test]
+    return names
+
+
+def quadruples(n_train: int, n_test: int, split: str = "stratified"):
+    """Train/test image lists.
+
+    ``stratified`` (default): interleaved strides over the FULL sorted
+    COD10K listing, so both splits span every environment
+    (Aquatic/Terrestrial/Flying/Amphibian/Other) AND the NonCAM tail —
+    the r2 gate's first-170-sorted-images cohort was 100% Aquatic
+    Pipefish (VERDICT r2 weak #1). Test offsets sit halfway between train
+    strides, so the splits are disjoint by construction.
+    ``sorted``: the r2 protocol (first n_train, next n_test), kept for
+    reproducing the old report.
+    """
+    names = _all_quadruples()
+    if split == "sorted":
+        return names[:n_train], names[n_train:n_train + n_test]
+    N = len(names)
+    tr_stride = max(N // n_train, 1)
+    te_stride = max(N // n_test, 1)
+    tr_idx = list(range(0, N, tr_stride))[:n_train]
+    used = set(tr_idx)
+    te_off = tr_stride // 2
+    te_idx = [i for i in range(te_off, N, te_stride) if i not in used][:n_test]
+    train = [names[i] for i in tr_idx]
+    test = [names[i] for i in te_idx]
+    from collections import Counter
+    print("train categories:", dict(Counter(category_of(b) for b, *_ in train)))
+    print("test categories:", dict(Counter(category_of(b) for b, *_ in test)))
+    return train, test
 
 
 def stage_graphs(samples, n_segments=500):
@@ -230,27 +264,46 @@ def stage_compare(test_samples, n_segments=500):
         model_agree.append(float((t_pred == j_pred).mean()))
 
         gt = load_mask(mask_p, 256) > 0.5
-        for tag, hm in (("ref", h_ref_c), ("jax", h_jax)):
-            pb = hm > 0.5
-            inter = (pb & gt).sum()
-            union = pb.sum() + gt.sum() - inter
-            qual[tag].append(float(inter / (union + 1e-8)))
+        if gt.sum() > 0:  # NonCAM GT is empty; IoU would be degenerate
+            for tag, hm in (("ref", h_ref_c), ("jax", h_jax)):
+                pb = hm > 0.5
+                inter = (pb & gt).sum()
+                union = pb.sum() + gt.sum() - inter
+                qual[tag].append(float(inter / (union + 1e-8)))
 
         per_image.append({"image": base,
+                          "category": category_of(base),
                           "pixel_agreement_verbatim": agree_v[-1],
                           "pixel_agreement_corrected": agree_c[-1],
                           "heatmap_mae": maes[-1],
                           "model_node_agreement": model_agree[-1]})
 
+    from collections import defaultdict
+    by_cat = defaultdict(list)
+    for rec in per_image:
+        by_cat[rec["category"]].append(rec)
+    per_category = {
+        c: {"n": len(v),
+            "pixel_agreement_corrected": float(np.mean(
+                [r["pixel_agreement_corrected"] for r in v])),
+            "pixel_agreement_verbatim": float(np.mean(
+                [r["pixel_agreement_verbatim"] for r in v])),
+            "heatmap_mae": float(np.mean([r["heatmap_mae"] for r in v]))}
+        for c, v in sorted(by_cat.items())
+    }
     report = {
         "n_test_images": len(bases),
         "pixel_agreement_vs_reference_verbatim_paintback": float(np.mean(agree_v)),
         "pixel_agreement_vs_reference_corrected_paintback": float(np.mean(agree_c)),
         "heatmap_mae_vs_reference": float(np.mean(maes)),
         "model_only_node_agreement": float(np.mean(model_agree)),
-        "iou_vs_gt": {k: float(np.mean(v)) for k, v in qual.items()},
+        "iou_vs_gt_cam_only": {k: float(np.mean(v)) for k, v in qual.items()},
+        "per_category": per_category,
         "gate": {"target": 0.95,
-                 "passed": bool(np.mean(agree_c) >= 0.95)},
+                 "passed": bool(np.mean(agree_c) >= 0.95),
+                 "passed_every_category": bool(all(
+                     v["pixel_agreement_corrected"] >= 0.95
+                     for v in per_category.values()))},
         "notes": [
             "Reference side is a faithful numpy/scipy/torch re-implementation "
             "(tools/reference_pipeline.py) — skimage/torch_geometric are not "
@@ -489,11 +542,13 @@ def main():
                     choices=["all", "graphs", "train", "compare",
                              "fusion-train", "fusion-compare"])
     ap.add_argument("--n-train", type=int, default=120)
-    ap.add_argument("--n-test", type=int, default=50)
+    ap.add_argument("--n-test", type=int, default=200)
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--split", default="stratified",
+                    choices=["stratified", "sorted"])
     args = ap.parse_args()
 
-    train_s, test_s = quadruples(args.n_train, args.n_test)
+    train_s, test_s = quadruples(args.n_train, args.n_test, args.split)
     print(f"{len(train_s)} train / {len(test_s)} test images")
     if args.stage in ("all", "graphs"):
         stage_graphs(train_s + test_s)
