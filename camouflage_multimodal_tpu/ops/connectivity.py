@@ -147,14 +147,14 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     # equals ascending root order, so ranks ARE the sequential relabel.
     C = min(16 * n_segments, HW)  # generous static bound on component count
     flat = comp.ravel()
-    order = jnp.sort(flat)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (order[1:] != order[:-1]).astype(jnp.int32)])
-    ranks = jnp.cumsum(is_first) - 1
-    rank_of = jnp.zeros((HW,), jnp.int32).at[order].set(ranks)
+    # A root is a pixel whose component min-index is itself; ranking roots
+    # by raster position is a plain cumsum over the root indicator — no
+    # HW-sized sort (the sort cost ~2 ms/img; the cumsum is a vector scan).
+    is_root = flat == idx_flat
+    ranks = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank AT each root pixel
     # Clamp defends the static bound in pathological fragment blow-ups
     # (merges any overflow fragments into the last id).
-    comp = jnp.minimum(rank_of[flat], C - 1).reshape(H, W)  # ids in [0, C)
+    comp = jnp.minimum(ranks[flat], C - 1).reshape(H, W)  # ids in [0, C)
     # Root pixel (min raster index) per compact id — preserves raster order
     # for the final relabel after merging.
     root_pix = jax.ops.segment_min(idx_flat, comp.ravel(), num_segments=C)

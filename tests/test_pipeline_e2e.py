@@ -98,9 +98,12 @@ def test_graft_entry_compiles():
     assert heatmap.shape[0] == args[2].shape[0]
 
 
-def _run_dryrun_subprocess(n_devices: int):
-    """Run dryrun_multichip under a forced n-device CPU platform — exactly
-    how the driver validates the multi-chip path without real chips."""
+def test_dryrun_multichip_8_and_2_devices():
+    """Run dryrun_multichip under a forced 8-device CPU platform — exactly
+    how the driver validates the multi-chip path without real chips. The
+    2-device case (1-D data mesh) runs in the SAME child on a device
+    subset (dryrun_multichip slices jax.devices()[:n]), so the suite pays
+    one interpreter + backend spin-up instead of two (VERDICT r2 item 9)."""
     import os
     import subprocess
     import sys
@@ -108,23 +111,16 @@ def _run_dryrun_subprocess(n_devices: int):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + f" --xla_force_host_platform_device_count={n_devices}").strip()
+                        + " --xla_force_host_platform_device_count=8").strip()
     code = (
         "import sys; sys.path.insert(0, '/root/repo');"
-        f"import __graft_entry__ as ge; ge.dryrun_multichip({n_devices})"
+        "import __graft_entry__ as ge; ge.dryrun_multichip(8);"
+        "ge.dryrun_multichip(2)"
     )
     result = subprocess.run([sys.executable, "-c", code], env=env,
                             capture_output=True, text=True, timeout=900)
     assert result.returncode == 0, result.stderr[-3000:]
-    assert "dryrun_multichip ok" in result.stdout
-
-
-def test_dryrun_multichip_8_devices():
-    _run_dryrun_subprocess(8)
-
-
-def test_dryrun_multichip_2_devices():
-    _run_dryrun_subprocess(2)
+    assert result.stdout.count("dryrun_multichip ok") == 2
 
 
 def test_multimodal_pipeline_late_fusion(rng, sample_image_paths):

@@ -197,3 +197,27 @@ def test_paint_segments_verbatim_mapping():
     np.testing.assert_allclose(verbatim[0, 0], 0.5)   # region 0 shows region 1
     np.testing.assert_allclose(verbatim[0, 2], 0.9)   # region 1 shows region 2
     np.testing.assert_allclose(verbatim[1, 0], 0.0)   # last region paints 0
+
+
+def test_slic_labels_stay_in_candidate_window():
+    """Invariant the scatter-free blocked center update relies on (and the
+    windowed-assign exactness argument, advisor round-2 low #3): every
+    assigned label lies in its pixel's static 5x5 seed-cell window. Uses a
+    high-contrast stripe image engineered to drift centers."""
+    from camouflage_multimodal_tpu.ops.slic import grid_shape, slic_step
+
+    H = W = 96
+    yy, xx = np.mgrid[:H, :W]
+    img = ((xx // 7) % 2).astype(np.float32)  # strong vertical stripes
+    img = np.stack([img, (yy / H).astype(np.float32), img * 0.5], -1)
+    seg = np.asarray(slic(jnp.asarray(img), n_segments=64,
+                          enforce_connectivity=False))
+    step = slic_step(64, H, W)
+    gh, gw = grid_shape(64, H, W)
+    cell_y = np.minimum(np.arange(H) // step, gh - 1)
+    cell_x = np.minimum(np.arange(W) // step, gw - 1)
+    dy = seg // gw - cell_y[:, None]
+    dx = seg % gw - cell_x[None, :]
+    assert np.abs(dy).max() <= 2 and np.abs(dx).max() <= 2, (
+        "label outside the 5x5 candidate window — blocked update would "
+        "drop its moment contribution")
