@@ -137,42 +137,58 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     big = jnp.int32(HW)
     idx_flat = jnp.arange(HW, dtype=jnp.int32)
 
-    comp = connected_components(labels)
+    comp0 = connected_components(labels)
 
     # Compact the root space ONCE: component roots are min pixel indices in
     # [0, HW), but there are at most a few thousand components — ranking
     # them first makes every merge-round scatter/gather work on a C-sized
     # table instead of an HW-sized one (HW-table dynamic gathers are the
     # single slowest primitive on this TPU). Raster order of first pixels
-    # equals ascending root order, so ranks ARE the sequential relabel.
+    # equals ascending root order, so ranks ARE the sequential relabel —
+    # and compact-id order IS raster order of first pixels, which the
+    # final relabel exploits (plain cumsum, no sort).
     C = min(16 * n_segments, HW)  # generous static bound on component count
-    flat = comp.ravel()
+    flat0 = comp0.ravel()
     # A root is a pixel whose component min-index is itself; ranking roots
     # by raster position is a plain cumsum over the root indicator — no
     # HW-sized sort (the sort cost ~2 ms/img; the cumsum is a vector scan).
-    is_root = flat == idx_flat
+    is_root = flat0 == idx_flat
     ranks = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank AT each root pixel
     # Clamp defends the static bound in pathological fragment blow-ups
     # (merges any overflow fragments into the last id).
-    comp = jnp.minimum(ranks[flat], C - 1).reshape(H, W)  # ids in [0, C)
-    # Root pixel (min raster index) per compact id — preserves raster order
-    # for the final relabel after merging.
-    root_pix = jax.ops.segment_min(idx_flat, comp.ravel(), num_segments=C)
+    flat0 = jnp.minimum(ranks[flat0], C - 1)  # compact ids in [0, C)
+    size0 = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat0,
+                                num_segments=C)
 
     ident = jnp.arange(C, dtype=jnp.int32)
     nbr_idx = _neighbor_shifts(idx_flat.reshape(H, W), big)
+    n_jumps = max(int(C - 1).bit_length(), 1)
+    # Pack (current id, smallness-of-current) into one int so each round
+    # needs a SINGLE HW-sized table gather (id < C ≤ 2^24 always: C is
+    # capped at 16·n_segments and scatter buckets cap n_segments far below
+    # 2^20 in practice; assert statically anyway).
+    assert C < (1 << 24)
+    _SMALL_BIT = jnp.int32(1 << 24)
 
-    def merge_round(comp):
-        """One absorption round. Small components merge into the component
-        owning their raster-first LARGE ring pixel; a small component with
-        no large contact falls back to its raster-first smaller-id small
-        neighbor (ids are root-ranked, so the id order is the raster order
-        of first pixels — strictly decreasing targets, hence no merge
-        cycles and guaranteed fixpoint termination)."""
-        flat = comp.ravel()
-        sizes = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat,
-                                    num_segments=C)
-        small = ((sizes < min_size)[flat]).reshape(H, W)
+    def merge_round(state):
+        """One absorption round, HW-work-minimal: the original compact map
+        ``flat0`` is STATIC across rounds; rounds compose a C-sized
+        ``cur`` (orig id → current id) map and C-sized ``size`` table.
+        Per-round HW-sized irregular work is exactly one packed gather
+        (current id + smallness per pixel) and one segment_min (raster-
+        first ring pixel per component); everything else is shifts,
+        vector ops, or C-sized table work.
+
+        Small components merge into the component owning their
+        raster-first LARGE ring pixel; a small component with no large
+        contact falls back to its raster-first smaller-id small neighbor
+        (strictly decreasing targets, hence no merge cycles)."""
+        cur, size, rounds = state
+        small_c = (size > 0) & (size < min_size)
+        packed_c = cur + jnp.where(small_c[cur], _SMALL_BIT, 0)
+        g = packed_c[flat0].reshape(H, W)          # the ONE HW gather
+        comp = g & (_SMALL_BIT - 1)
+        small = g >= _SMALL_BIT
 
         comp_n = _neighbor_shifts(comp, -1)
         small_n = _neighbor_shifts(small, True)
@@ -186,6 +202,7 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
         best = jnp.where(best < big, best, best_fb)
         best = jnp.where(small, best, big)
 
+        flat = comp.ravel()
         target_pix = jax.ops.segment_min(best.ravel(), flat, num_segments=C)
         # id -> absorbing id (ring-pixel owner's component), else identity.
         # flat[target_pix] is a C-sized gather from the pixel map.
@@ -199,34 +216,40 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
         # which never merges), so ceil(log2(C)) doublings resolve ANY chain
         # exactly — a static fori_loop, cheaper to compile than a nested
         # while under vmap.
-        n_jumps = max(int(C - 1).bit_length(), 1)
         absorb = jax.lax.fori_loop(0, n_jumps, lambda _, m: m[m], absorb)
-        return absorb[flat].reshape(H, W), jnp.any(absorb != ident)
+        # Compose at C level — pixels are only touched again next round
+        # (or not at all: the final relabel also composes through ``cur``).
+        cur = absorb[cur]
+        size = jax.ops.segment_sum(size, absorb, num_segments=C)
+        return cur, size, rounds + 1
 
     def merge_cond(state):
-        _, changed, rounds = state
-        return changed & (rounds < _MAX_MERGE_ROUNDS)
+        # Any surviving sub-min_size component is guaranteed to produce a
+        # merge next round (it either has a large neighbor, or a small
+        # neighbor pair where the larger id absorbs into the smaller), so
+        # "work remains" is a C-sized size-table check — the old
+        # "did anything change" condition cost a full extra verification
+        # round of HW-sized work.
+        cur, size, rounds = state
+        return jnp.any((size > 0) & (size < min_size)) & (
+            rounds < _MAX_MERGE_ROUNDS)
 
-    def merge_body(state):
-        comp, _, rounds = state
-        comp, changed = merge_round(comp)
-        return comp, changed, rounds + 1
+    cur, size, _ = jax.lax.while_loop(
+        merge_cond, merge_round, (ident, size0, jnp.int32(0)))
 
-    comp, _, _ = jax.lax.while_loop(
-        merge_cond, merge_body, (comp, jnp.asarray(True), jnp.int32(0)))
-
-    # Sequential relabel of survivors by raster order of their first pixel
-    # = ascending root_pix order (C-sized sort, not HW-sized).
-    flat = comp.ravel()
-    n_pix = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat,
-                                num_segments=C)
-    surv_pix = jnp.where(n_pix > 0, root_pix, big)
-    rank = jnp.argsort(jnp.argsort(surv_pix))  # dense ranks by root pixel
+    # Sequential relabel of survivors by raster order of their first pixel.
+    # Compact ids ascend in raster order of first pixels and absorbing
+    # components keep their own id, so survivor-id order IS root-raster
+    # order: the dense rank is a plain cumsum over the survivor indicator
+    # (no sort), composed through ``cur`` so the pixel application is one
+    # HW gather.
+    live = size > 0
+    rank = jnp.cumsum(live.astype(jnp.int32)) - 1
     if max_labels is not None:
         # Explicit overflow policy: raster-latest survivors collapse into
         # the last in-bucket label instead of escaping the caller's bucket.
         rank = jnp.minimum(rank, max_labels - 1)
-    out = rank[flat].reshape(H, W)
+    out = rank[cur][flat0].reshape(H, W)
     if return_count:
-        return out, jnp.sum(n_pix > 0)
+        return out, jnp.sum(live)
     return out

@@ -33,7 +33,9 @@ def region_adjacency(segments: jnp.ndarray, num_segments: int) -> jnp.ndarray:
         a = a.reshape(-1)
         b = b.reshape(-1)
         adj = adj.at[a, b].set(True)
-        adj = adj.at[b, a].set(True)
+    # One transpose-OR instead of a second set of four HW-sized scatters
+    # (scatter cost is per-element on this TPU; the K×K OR is negligible).
+    adj = adj | adj.T
     adj = adj & ~jnp.eye(K, dtype=bool)
     return adj
 

@@ -147,28 +147,28 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
     region_size = count[:, None] / (H * W)
     edge_density = m[:, 10:11] / safe
 
-    # Perimeter: pixels adjacent (4-conn) to the region but outside it.
-    labs1, keep1 = _distinct_foreign_neighbors(segments, _DIAMOND_1)
-    peri = jax.ops.segment_sum(
-        keep1.reshape(-1).astype(jnp.float32),
-        labs1.reshape(-1),
-        num_segments=K,
-    )[:, None]
-    compactness = peri**2 / (4.0 * math.pi * count[:, None] + 1e-10)
-
-    # Boundary contrast: mean color of dilate₂(R) \ R vs mean color of R.
-    # One segment_sum per offset (12 unrolled), accumulating into (K, 4) —
-    # NOT one big scatter over an (H·W·12, 3) repeat of the image, whose
-    # materialized intermediate grows past HBM at 416²+ batch 16.
+    # Boundary contrast: mean color of dilate₂(R) \ R vs mean color of R;
+    # perimeter: |dilate₁(R) \ R| (4-conn cross). One segment_sum per
+    # offset (12 unrolled), accumulating into (K, 5) — NOT one big scatter
+    # over an (H·W·12, ·) repeat of the image, whose materialized
+    # intermediate grows past HBM at 416²+ batch 16. The perimeter rides
+    # the same scatters as a 5th payload channel: _DIAMOND_2 lists the
+    # four r=1 offsets FIRST, so keep₂ restricted to slots 0-3 dedups only
+    # against those slots and equals keep₁ exactly — saving the separate
+    # 4·HW-element perimeter scatter (scatter cost is per-element here).
     labs2, keep2 = _distinct_foreign_neighbors(segments, _DIAMOND_2)
     n_off = labs2.shape[-1]
     img_aug = jnp.concatenate([img_flat, jnp.ones((H * W, 1), jnp.float32)], -1)
-    nb = jnp.zeros((K, 4), jnp.float32)
+    nb = jnp.zeros((K, 5), jnp.float32)
     for i in range(n_off):
         w = keep2[..., i].reshape(-1).astype(jnp.float32)
-        nb = nb + jax.ops.segment_sum(img_aug * w[:, None],
-                                      labs2[..., i].reshape(-1),
+        is_r1 = jnp.float32(1.0 if i < len(_DIAMOND_1) else 0.0)
+        payload = jnp.concatenate(
+            [img_aug * w[:, None], (is_r1 * w)[:, None]], axis=-1)
+        nb = nb + jax.ops.segment_sum(payload, labs2[..., i].reshape(-1),
                                       num_segments=K)
+    peri = nb[:, 4:5]
+    compactness = peri**2 / (4.0 * math.pi * count[:, None] + 1e-10)
     nb_sum, nb_cnt = nb[:, :3], nb[:, 3]
     nb_mean = nb_sum / jnp.maximum(nb_cnt, 1.0)[:, None]
     has_nb = (nb_cnt > 0)[:, None]

@@ -210,7 +210,14 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
             return jnp.where(found, best_id,
                              prev.reshape(H, W)).reshape(-1)
 
-    def update_segment_sum(labels, centers):
+    # Center update: a single 6-channel segment_sum moment accumulation.
+    # Two "scatter-free" blocked-cell-sum reformulations (25 offset-masked
+    # cell reduces; one-hot (H, W, 25, 6) product-reduce) were built and
+    # measured IN-PROGRAM at 16×352²: 37.0 / ~37 ms for the 10-iteration
+    # loop vs 26.6 ms with the plain scatter — the scatter fuses into the
+    # surrounding loop while the blocked intermediates don't, so the
+    # irregular-op "floor" is already the cheapest formulation here.
+    def update(labels, centers):
         ones = jnp.ones((pix_flat.shape[0], 1), dtype=jnp.float32)
         moments = jax.ops.segment_sum(
             jnp.concatenate([pix_flat, ones], axis=-1), labels, num_segments=K
@@ -218,51 +225,6 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
         count = moments[:, 5:6]
         new_centers = moments[:, :5] / jnp.maximum(count, 1.0)
         return jnp.where(count > 0, new_centers, centers)
-
-    # Scatter-free center update (XLA path). Every assigned label lies in
-    # the pixel's static 5×5 cell window, so the per-cluster moment
-    # accumulation decomposes into 25 offset-masked BLOCKED CELL SUMS
-    # (regular reshape-reductions) plus static grid shifts — replacing the
-    # HW-sized segment_sum scatter (~2.3 ms/img at 352², the costliest op
-    # in the loop; regular reductions are ~100× cheaper on this TPU).
-    ghp, gwp = -(-H // step), -(-W // step)
-    pad_h, pad_w = ghp * step - H, gwp * step - W
-
-    def _cell_reduce(x):  # (H, W, c) -> (gh, gw, c)
-        if pad_h or pad_w:
-            x = jnp.pad(x, ((0, pad_h), (0, pad_w), (0, 0)))
-        x = x.reshape(ghp, step, gwp, step, x.shape[-1]).sum(axis=(1, 3))
-        if ghp > gh:  # the last seed row owns the remainder rows
-            x = jnp.concatenate(
-                [x[: gh - 1], x[gh - 1:].sum(axis=0, keepdims=True)], axis=0)
-        if gwp > gw:
-            x = jnp.concatenate(
-                [x[:, : gw - 1], x[:, gw - 1:].sum(axis=1, keepdims=True)],
-                axis=1)
-        return x
-
-    cell_y2d = jnp.broadcast_to(cell_y[:, None], (H, W))
-    cell_x2d = jnp.broadcast_to(cell_x[None, :], (H, W))
-
-    def update_blocked(labels, centers):
-        lab2d = labels.reshape(H, W)
-        # offset index of each pixel's label inside its 5×5 window —
-        # recoverable arithmetically because the cell maps are static.
-        dy = lab2d // gw - cell_y2d + 2
-        dx = lab2d % gw - cell_x2d + 2
-        off = dy * 5 + dx  # in [0, 25) for every assigned label
-        mom = jnp.concatenate([pix, jnp.ones((H, W, 1), jnp.float32)], -1)
-        acc = jnp.zeros((gh + 4, gw + 4, 6), jnp.float32)
-        for i, (ody, odx) in enumerate(offsets):
-            p = _cell_reduce(jnp.where((off == i)[..., None], mom, 0.0))
-            # pixels in cell (cy, cx) chose cluster (cy+ody, cx+odx)
-            acc = acc.at[2 + ody: 2 + ody + gh, 2 + odx: 2 + odx + gw].add(p)
-        moments = acc[2: 2 + gh, 2: 2 + gw].reshape(K, 6)
-        count = moments[:, 5:6]
-        new_centers = moments[:, :5] / jnp.maximum(count, 1.0)
-        return jnp.where(count > 0, new_centers, centers)
-
-    update = update_segment_sum if backend == "pallas" else update_blocked
 
     def body(_, state):
         labels, centers = state
