@@ -19,14 +19,16 @@ runs implicitly via skimage's ``enforce_connectivity=True`` default
 
 TPU formulation — no data-dependent shapes anywhere:
 
-* Connected components: alternating row/column **segmented min-scans**
-  (``lax.associative_scan`` with run-boundary resets at label changes),
+* Connected components: alternating row/column **segmented min-scans**,
   run under ``lax.while_loop`` to a fixed point. Each sweep propagates the
   min raster index along entire rows and columns at once with zero
   gathers — dynamic gathers (the classic pointer-jumping ``comp[comp]``)
   cost ~15 ms per sweep on this TPU for a 16×256² batch and dominated the
-  original formulation; scans are pure vector ops and make the whole pass
-  ~20× cheaper. Convergence takes O(staircase complexity of the
+  original formulation. The segmented scan itself is a PLAIN
+  ``lax.cummin`` via the run-offset trick (see ``_seg_min_scan``) with
+  label-derived run ids hoisted out of the loop — a tuple-carrying
+  ``associative_scan`` lowered to ~17 multi-op levels per call and was
+  op-count bound. Convergence takes O(staircase complexity of the
   component) sweeps — single digits for SLIC fragments, which live inside
   ±step search boxes.
 * Component sizes / merge targets: ``segment_sum`` / ``segment_min``
@@ -56,35 +58,38 @@ def _neighbor_shifts(x: jnp.ndarray, fill):
     return up, down, left, right
 
 
+def _run_ids(labels: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Run index of each element along ``axis`` (0, 1, 2, … per row/col of
+    runs of equal labels). Label-derived, so constant across CC sweeps."""
+    prev = jnp.roll(labels, 1, axis=axis)
+    reset = labels != prev
+    idx = [slice(None)] * labels.ndim
+    idx[axis] = slice(0, 1)
+    reset = reset.at[tuple(idx)].set(True)
+    return jnp.cumsum(reset.astype(jnp.int32), axis=axis)
+
+
 def _seg_min_scan(comp: jnp.ndarray, labels: jnp.ndarray,
-                  axis: int) -> jnp.ndarray:
-    """Min of ``comp`` over each run of equal ``labels`` along ``axis``
-    (forward + backward segmented scans — no gathers)."""
+                  axis: int, run_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Min of ``comp`` over each run of equal ``labels`` along ``axis``.
 
-    def combine(a, b):
-        m1, r1 = a
-        m2, r2 = b
-        return jnp.where(r2, m2, jnp.minimum(m1, m2)), r1 | r2
-
-    def one_direction(reverse):
-        if reverse:
-            nxt = jnp.roll(labels, -1, axis=axis)
-            reset = labels != nxt
-            # last element along the axis starts a (reversed) run
-            idx = [slice(None)] * labels.ndim
-            idx[axis] = slice(-1, None)
-            reset = reset.at[tuple(idx)].set(True)
-        else:
-            prev = jnp.roll(labels, 1, axis=axis)
-            reset = labels != prev
-            idx = [slice(None)] * labels.ndim
-            idx[axis] = slice(0, 1)
-            reset = reset.at[tuple(idx)].set(True)
-        m, _ = jax.lax.associative_scan(combine, (comp, reset), axis=axis,
-                                        reverse=reverse)
-        return m
-
-    return jnp.minimum(one_direction(False), one_direction(True))
+    Segmented min via PLAIN ``lax.cummin`` and the run-offset trick:
+    with s = run id and B > max(comp), elements of earlier runs in
+    ``comp − B·s`` exceed any same-run element by ≥ B − max(comp) > 0, so
+    ``cummin(comp − B·s) + B·s`` is the forward segmented cummin; the
+    reverse direction flips the sign (``rev_cummin(comp + B·s) − B·s``),
+    reusing the SAME s. This replaced a tuple-carrying
+    ``lax.associative_scan`` with a reset-flag monoid: the tuple scan
+    lowered to ~17 levels of multi-op fusions per call and was op-count
+    bound (~11 ms/img for the CC pass); native cummin is one fused op.
+    """
+    B = jnp.int32(comp.size if comp.ndim <= 2 else
+                  comp.shape[-1] * comp.shape[-2])
+    s = _run_ids(labels, axis) if run_ids is None else run_ids
+    off = B * s
+    fwd = jax.lax.cummin(comp - off, axis=axis) + off
+    bwd = jax.lax.cummin(comp + off, axis=axis, reverse=True) - off
+    return jnp.minimum(fwd, bwd)
 
 
 def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
@@ -92,11 +97,16 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
     components of an (H, W) int label map."""
     H, W = labels.shape
     HW = H * W
+    # Offset-trick overflow bound: |comp ± HW·s| ≤ HW·(max(H, W)+1) must
+    # fit int32 (holds through ≥1024² images).
+    assert HW * (max(H, W) + 1) < 2**31
     idx = jnp.arange(HW, dtype=jnp.int32).reshape(H, W)
+    s_cols = _run_ids(labels, 1)
+    s_rows = _run_ids(labels, 0)
 
     def sweep(comp):
-        comp = _seg_min_scan(comp, labels, axis=1)
-        comp = _seg_min_scan(comp, labels, axis=0)
+        comp = _seg_min_scan(comp, labels, axis=1, run_ids=s_cols)
+        comp = _seg_min_scan(comp, labels, axis=0, run_ids=s_rows)
         return comp
 
     def cond(state):

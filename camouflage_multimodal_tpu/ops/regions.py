@@ -31,10 +31,15 @@ that behavior.
 
 Perimeter/contrast trick: a pixel p belongs to ``dilateᵣ(region R) \\ R``
 iff some label within city-block distance r of p equals R and seg(p) ≠ R.
-So instead of materializing a (K, H, W) one-hot stack, each pixel scatters
-one unit (or its color) to every *distinct* neighbor label in its radius-r
-diamond — dedup over ≤4 (r=1) or ≤12 (r=2) gathered labels is a handful of
-vectorized comparisons.
+So instead of materializing a (K, H, W) one-hot stack, each pixel
+contributes one unit (or its color) to every *distinct* neighbor label in
+its radius-r diamond — dedup over ≤4 (r=1) or ≤12 (r=2) gathered labels is
+a handful of vectorized comparisons.  The per-offset contributions are then
+reindexed from "p scatters to seg(p+off)" to "p+off receives from p"
+(a static roll), which makes all twelve offsets share ``seg`` as their
+scatter index — so the entire feature extraction is exactly ONE HW-sized
+segment_sum (17 payload channels).  Scatters cost per element on this TPU;
+this is the difference between 84 and 17 scattered channel-elements/pixel.
 """
 
 from __future__ import annotations
@@ -117,7 +122,33 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
     yy = (jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)).reshape(-1)
     xx = (jnp.ones((H, 1), jnp.float32) * jnp.arange(W, dtype=jnp.float32)[None, :]).reshape(-1)
 
-    # First-order and second-order moments in a single segment_sum.
+    # Boundary-neighbor sums WITHOUT per-offset scatters.  The natural form
+    # is one segment_sum per offset i with index labs_i[p] = seg[p + off_i]
+    # (12 HW-sized scatters — they dominated this stage at ~2/3 of its
+    # cost).  Reindexing q = p + off_i turns every one of them into a
+    # scatter over the SAME index array seg[q]: the contribution of source
+    # pixel p to bin seg[p + off_i] is payload_i shifted by +off_i.  Since
+    # the twelve results are summed anyway, the shifted payloads can be
+    # pre-summed with rolls (regular ops, ~100× cheaper than scatters) and
+    # the whole neighbor accumulation rides the single moment segment_sum
+    # below as five extra payload channels.  Roll wrap-around is harmless:
+    # a wrapped source is exactly one whose own neighbor was out-of-image,
+    # so its dedup weight is already zero.  Perimeter = the r=1 subset
+    # (_DIAMOND_2 lists the four r=1 offsets first, so keep₂ restricted to
+    # slots 0-3 dedups only against those slots and equals keep₁ exactly).
+    labs2, keep2 = _distinct_foreign_neighbors(segments, _DIAMOND_2)
+    del labs2  # only the dedup weights are needed in the reindexed form
+    img_hw = image.astype(jnp.float32)
+    nb_acc = jnp.zeros((H, W, 5), jnp.float32)
+    for i, (dy, dx) in enumerate(_DIAMOND_2):
+        w = keep2[..., i].astype(jnp.float32)
+        is_r1 = jnp.float32(1.0 if i < len(_DIAMOND_1) else 0.0)
+        pay = jnp.concatenate(
+            [img_hw * w[..., None], w[..., None], (is_r1 * w)[..., None]],
+            axis=-1)
+        nb_acc = nb_acc + jnp.roll(pay, (dy, dx), axis=(0, 1))
+
+    # Every region statistic in ONE 17-channel segment_sum.
     vals = jnp.concatenate(
         [
             img_flat,                     # 0:3   sum rgb
@@ -128,6 +159,7 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
             xx[:, None],                  # 9     sum x
             edge_flat[:, None],           # 10    sum edge
             jnp.ones((H * W, 1), jnp.float32),  # 11 count
+            nb_acc.reshape(-1, 5),        # 12:15 nb rgb, 15 nb count, 16 peri
         ],
         axis=-1,
     )
@@ -148,25 +180,10 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
     edge_density = m[:, 10:11] / safe
 
     # Boundary contrast: mean color of dilate₂(R) \ R vs mean color of R;
-    # perimeter: |dilate₁(R) \ R| (4-conn cross). One segment_sum per
-    # offset (12 unrolled), accumulating into (K, 5) — NOT one big scatter
-    # over an (H·W·12, ·) repeat of the image, whose materialized
-    # intermediate grows past HBM at 416²+ batch 16. The perimeter rides
-    # the same scatters as a 5th payload channel: _DIAMOND_2 lists the
-    # four r=1 offsets FIRST, so keep₂ restricted to slots 0-3 dedups only
-    # against those slots and equals keep₁ exactly — saving the separate
-    # 4·HW-element perimeter scatter (scatter cost is per-element here).
-    labs2, keep2 = _distinct_foreign_neighbors(segments, _DIAMOND_2)
-    n_off = labs2.shape[-1]
-    img_aug = jnp.concatenate([img_flat, jnp.ones((H * W, 1), jnp.float32)], -1)
-    nb = jnp.zeros((K, 5), jnp.float32)
-    for i in range(n_off):
-        w = keep2[..., i].reshape(-1).astype(jnp.float32)
-        is_r1 = jnp.float32(1.0 if i < len(_DIAMOND_1) else 0.0)
-        payload = jnp.concatenate(
-            [img_aug * w[:, None], (is_r1 * w)[:, None]], axis=-1)
-        nb = nb + jax.ops.segment_sum(payload, labs2[..., i].reshape(-1),
-                                      num_segments=K)
+    # perimeter: |dilate₁(R) \ R| (4-conn cross).  Both were accumulated by
+    # the reindexed roll-sum above and arrived through the single
+    # segment_sum as channels 12:17.
+    nb = m[:, 12:17]
     peri = nb[:, 4:5]
     compactness = peri**2 / (4.0 * math.pi * count[:, None] + 1e-10)
     nb_sum, nb_cnt = nb[:, :3], nb[:, 3]

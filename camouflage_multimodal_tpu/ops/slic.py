@@ -19,8 +19,11 @@ contract exactly, pixel for pixel up to float32-vs-float64 boundary ties:
   their region in practice) — masked by the box test, so the result equals
   the all-K sweep. Candidates are ordered by ascending cluster id, matching
   skimage's first-wins tie-breaking under its strict-< update loop.
-* The update step is a ``segment_sum`` moment accumulation over the
-  assignment map — a scatter-add the TPU handles natively.
+* The update step needs NO scatter: every label a pixel can hold lies in
+  its static 5×5 seed-cell window (see the in-function proof), so the
+  moment accumulation decomposes into per-seed-block sums placed by 25
+  static grid shifts — band-reshaped einsum + reshape-sums, all regular
+  ops (the scatter form paid a ~2 ms per-call floor × 9 iterations).
 * Iteration count is static (10 = skimage's max_num_iter), so the whole
   thing jits into a single XLA program and batches with vmap.
 * ``enforce_connectivity=True`` routes through
@@ -210,21 +213,74 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
             return jnp.where(found, best_id,
                              prev.reshape(H, W)).reshape(-1)
 
-    # Center update: a single 6-channel segment_sum moment accumulation.
-    # Two "scatter-free" blocked-cell-sum reformulations (25 offset-masked
-    # cell reduces; one-hot (H, W, 25, 6) product-reduce) were built and
-    # measured IN-PROGRAM at 16×352²: 37.0 / ~37 ms for the 10-iteration
-    # loop vs 26.6 ms with the plain scatter — the scatter fuses into the
-    # surrounding loop while the blocked intermediates don't, so the
-    # irregular-op "floor" is already the cheapest formulation here.
-    def update(labels, centers):
-        ones = jnp.ones((pix_flat.shape[0], 1), dtype=jnp.float32)
-        moments = jax.ops.segment_sum(
-            jnp.concatenate([pix_flat, ones], axis=-1), labels, num_segments=K
-        )
-        count = moments[:, 5:6]
-        new_centers = moments[:, :5] / jnp.maximum(count, 1.0)
-        return jnp.where(count > 0, new_centers, centers)
+    if backend == "pallas":
+        # The Pallas assign sweeps ALL K centers, so a drifted center can
+        # claim a pixel outside its 5×5 seed-cell window — the blocksum
+        # update below would silently drop such pixels. Keep the scatter
+        # moment accumulation for this backend.
+        def update(labels, centers):
+            ones = jnp.ones((pix_flat.shape[0], 1), dtype=jnp.float32)
+            moments = jax.ops.segment_sum(
+                jnp.concatenate([pix_flat, ones], axis=-1), labels,
+                num_segments=K)
+            count = moments[:, 5:6]
+            new_centers = moments[:, :5] / jnp.maximum(count, 1.0)
+            return jnp.where(count > 0, new_centers, centers)
+    else:
+        # Center update WITHOUT the per-iteration scatter. The natural form
+        # is a 6-channel segment_sum moment accumulation, but scatter calls
+        # on this TPU have a ~2 ms per-call floor that made the 9 update
+        # scatters ~3/4 of the whole SLIC loop. The key fact: every label a
+        # pixel can hold lies inside its OWN static 5×5 candidate window —
+        # at iteration 1 the pixel's own seed box always covers it
+        # (|p − seed| ≤ step − 1 per axis by the seed-grid construction,
+        # including clamped edge cells), and the no-box fallback keeps the
+        # previous in-window label, so membership holds inductively. Hence
+        # each pixel has a unique valid window slot o with
+        # cand_id(o) == label, and the moments decompose per seed block as
+        #   moments[cell + off(o)] = Σ_o shift_o(blocksum(pix6 · 1[o]))
+        # — a band-reshaped einsum (row bands) + reshape-sum (col bands) +
+        # 25 static grid-shift adds: all regular ops, zero scatters.
+        # Earlier blocked attempts (25 offset-masked full-image reduces;
+        # a materialized (H, W, 25, 6) product) measured SLOWER than the
+        # scatter; contracting the band axis straight out via dot_general
+        # never materializes the product. einsum precision must be HIGHEST:
+        # the TPU matmul default is bf16-grade and the moment sums reach
+        # ~10⁴ (CLAUDE.md numerical-parity trap).
+        nbh = -(-H // step)   # uniform step-row bands after zero-padding
+        nbw = -(-W // step)
+        Hp, Wp = nbh * step, nbw * step
+        cand_hw = cand_flat.reshape(H, W, 25)
+        valid_hw = grid_flat.reshape(H, W, 25)
+        pix6p = jnp.pad(
+            jnp.concatenate([pix, jnp.ones((H, W, 1), jnp.float32)], -1),
+            ((0, Hp - H), (0, 0), (0, 0)))
+
+        def update(labels, centers):
+            lab2 = labels.reshape(H, W)
+            oh = ((lab2[..., None] == cand_hw) & valid_hw).astype(jnp.float32)
+            ohp = jnp.pad(oh, ((0, Hp - H), (0, 0), (0, 0)))
+            b1 = jnp.einsum(
+                "nswo,nswc->nwoc",
+                ohp.reshape(nbh, step, W, 25),
+                pix6p.reshape(nbh, step, W, 6),
+                precision=jax.lax.Precision.HIGHEST)
+            if nbh > gh:  # clamped trailing band folds into the last cell row
+                b1 = b1.at[gh - 1].add(b1[gh])[:gh]
+            b1 = jnp.pad(b1, ((0, 0), (0, Wp - W), (0, 0), (0, 0)))
+            b2 = b1.reshape(gh, nbw, step, 25, 6).sum(2)
+            if nbw > gw:
+                b2 = b2.at[:, gw - 1].add(b2[:, gw])[:, :gw]
+            # Offset o = (dy, dx) of block (i, j) feeds center (i+dy, j+dx):
+            # 25 static shifted adds on the tiny (gh, gw, 6) grid.
+            mom = jnp.zeros((gh + 4, gw + 4, 6), jnp.float32)
+            for o, (dy, dx) in enumerate(offsets):
+                mom = mom.at[2 + dy:2 + dy + gh, 2 + dx:2 + dx + gw].add(
+                    b2[:, :, o])
+            mom = mom[2:2 + gh, 2:2 + gw].reshape(K, 6)
+            count = mom[:, 5:6]
+            new_centers = mom[:, :5] / jnp.maximum(count, 1.0)
+            return jnp.where(count > 0, new_centers, centers)
 
     def body(_, state):
         labels, centers = state
