@@ -221,3 +221,56 @@ def test_slic_labels_stay_in_candidate_window():
     assert np.abs(dy).max() <= 2 and np.abs(dx).max() <= 2, (
         "label outside the 5x5 candidate window — blocked update would "
         "drop its moment contribution")
+
+
+def test_seg_min_scan_matches_naive_run_min():
+    """The run-offset cummin trick (_seg_min_scan) must equal the naive
+    per-run min along both axes on random label runs."""
+    from camouflage_multimodal_tpu.ops.connectivity import _seg_min_scan
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 4, size=(17, 23)).astype(np.int32)
+    comp = rng.integers(0, 17 * 23, size=(17, 23)).astype(np.int32)
+
+    def naive(comp, labels, axis):
+        out = comp.copy()
+        arr_l = labels if axis == 1 else labels.T
+        arr_c = comp if axis == 1 else comp.T
+        res = out if axis == 1 else out.T
+        for r in range(arr_l.shape[0]):
+            start = 0
+            row_l, row_c = arr_l[r], arr_c[r]
+            for j in range(1, arr_l.shape[1] + 1):
+                if j == arr_l.shape[1] or row_l[j] != row_l[start]:
+                    res[r, start:j] = row_c[start:j].min()
+                    start = j
+        return out
+
+    for axis in (0, 1):
+        got = np.asarray(_seg_min_scan(jnp.asarray(comp), jnp.asarray(labels),
+                                       axis=axis))
+        np.testing.assert_array_equal(got, naive(comp, labels, axis))
+
+
+def test_slic_ragged_band_shapes():
+    """The blocksum center update folds clamped trailing row/col bands into
+    the last seed cell; exercise shapes where H, W are NOT multiples of the
+    step (and a rectangular image) and re-assert the window invariant."""
+    from camouflage_multimodal_tpu.ops.slic import grid_shape, slic_step
+
+    rng = np.random.default_rng(1)
+    for H, W, n_seg in ((100, 100, 80), (96, 132, 60)):
+        step = slic_step(n_seg, H, W)
+        assert H % step != 0 or W % step != 0  # the case under test
+        img = rng.random((H, W, 3), dtype=np.float32)
+        seg = np.asarray(slic(jnp.asarray(img), n_segments=n_seg,
+                              enforce_connectivity=False))
+        gh, gw = grid_shape(n_seg, H, W)
+        assert seg.min() >= 0 and seg.max() < gh * gw
+        cell_y = np.minimum(np.arange(H) // step, gh - 1)
+        cell_x = np.minimum(np.arange(W) // step, gw - 1)
+        dy = seg // gw - cell_y[:, None]
+        dx = seg % gw - cell_x[None, :]
+        assert np.abs(dy).max() <= 2 and np.abs(dx).max() <= 2
+        # non-degenerate: most clusters are used
+        assert len(np.unique(seg)) > 0.7 * gh * gw
