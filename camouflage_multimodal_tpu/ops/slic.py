@@ -19,11 +19,17 @@ contract exactly, pixel for pixel up to float32-vs-float64 boundary ties:
   their region in practice) — masked by the box test, so the result equals
   the all-K sweep. Candidates are ordered by ascending cluster id, matching
   skimage's first-wins tie-breaking under its strict-< update loop.
-* The update step needs NO scatter: every label a pixel can hold lies in
-  its static 5×5 seed-cell window (see the in-function proof), so the
-  moment accumulation decomposes into per-seed-block sums placed by 25
-  static grid shifts — band-reshaped einsum + reshape-sums, all regular
-  ops (the scatter form paid a ~2 ms per-call floor × 9 iterations).
+* Assign AND update run in a BLOCKED layout: the image is reshaped into
+  step×step seed blocks (``(n_blocks, step², ch)``), so each block's 25
+  candidate centers are one tiny shared table and all 25 distances fuse
+  into a single pass over a ``(n_blocks, step², 25)`` tensor. The earlier
+  full-image form materialized 125 repeat-upsampled (H, W) arrays per
+  iteration and measured 8× slower (30.5 → 3.8 ms/img for the 10-iteration
+  loop at 352², bit-identical labels). The update's moment accumulation
+  needs NO scatter: every label a pixel can hold lies in its static 5×5
+  seed-cell window (see the in-function proof), so moments decompose into
+  per-block one-hot einsums placed by 25 static grid shifts (the scatter
+  form paid a ~2 ms per-call floor × 9 iterations).
 * Iteration count is static (10 = skimage's max_num_iter), so the whole
   thing jits into a single XLA program and batches with vmap.
 * ``enforce_connectivity=True`` routes through
@@ -113,33 +119,12 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
         axis=-1,
     ).reshape(K, 5)
 
-    # Pixel's seed cell (for the static candidate window).
-    cell_y_np = np.minimum(np.arange(H) // step, gh - 1)
-    cell_x_np = np.minimum(np.arange(W) // step, gw - 1)
-    cell_y = jnp.asarray(cell_y_np, jnp.int32)
-    cell_x = jnp.asarray(cell_x_np, jnp.int32)
-
-    # Static 25-candidate cluster ids per pixel (5×5 cell neighborhood),
-    # ascending id order within each pixel's list (skimage tie-breaking).
-    cand_ids, in_grid = [], []
-    for dy in (-2, -1, 0, 1, 2):
-        for dx in (-2, -1, 0, 1, 2):
-            ny = cell_y[:, None] + dy  # (H, 1)
-            nx = cell_x[None, :] + dx  # (1, W)
-            ok = (ny >= 0) & (ny < gh) & (nx >= 0) & (nx < gw)
-            cid = jnp.clip(ny, 0, gh - 1) * gw + jnp.clip(nx, 0, gw - 1)
-            cand_ids.append(jnp.broadcast_to(cid, (H, W)))
-            in_grid.append(jnp.broadcast_to(ok, (H, W)))
-    cand_flat = jnp.stack(cand_ids, axis=-1).reshape(-1, 25)
-    grid_flat = jnp.stack(in_grid, axis=-1).reshape(-1, 25)
-
-    pix_flat = pix.reshape(-1, 5)
-    py = pix_flat[:, 3]
-    px = pix_flat[:, 4]
-
     if backend == "pallas":
         from camouflage_multimodal_tpu.ops.pallas_slic import pallas_slic_assign
 
+        pix_flat = pix.reshape(-1, 5)
+        py_f = pix_flat[:, 3]
+        px_f = pix_flat[:, 4]
         sqrt_ratio = math.sqrt(ratio)
         scale_vec = jnp.asarray([1.0, 1.0, 1.0, sqrt_ratio, sqrt_ratio],
                                 jnp.float32)
@@ -147,77 +132,15 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
         def assign(centers, prev):
             return pallas_slic_assign(pix_flat * scale_vec,
                                       centers * scale_vec,
-                                      py.astype(jnp.int32),
-                                      px.astype(jnp.int32),
+                                      py_f.astype(jnp.int32),
+                                      px_f.astype(jnp.int32),
                                       centers[:, 3], centers[:, 4],
                                       step, prev)
-    else:
-        # A pixel's candidate center for offset (dy, dx) is
-        # centers_grid[cell_y + dy, cell_x + dx], and cell_y/cell_x are the
-        # STATIC maps min(y//step, gh-1) — so the lookup is a shifted grid
-        # upsampled by `step` (repeat + edge-pad): pure broadcasts, ZERO
-        # runtime gathers. Dynamic gathers are the slowest primitive on
-        # this TPU (~15 ms per 16×256² sweep); this formulation cut the
-        # 10-iteration assign loop ~4×.
-        def _up_rows(g):
-            r = jnp.repeat(g, step, axis=0)
-            if r.shape[0] < H:
-                r = jnp.concatenate(
-                    [r, jnp.broadcast_to(r[-1:], (H - r.shape[0], r.shape[1]))])
-            return r[:H]
 
-        def _up_cols(g):
-            c = jnp.repeat(g, step, axis=1)
-            if c.shape[1] < W:
-                c = jnp.concatenate(
-                    [c, jnp.broadcast_to(c[:, -1:], (c.shape[0], W - c.shape[1]))],
-                    axis=1)
-            return c[:, :W]
-
-        def _upsample(g):
-            return _up_cols(_up_rows(g))
-
-        offsets = [(dy, dx) for dy in (-2, -1, 0, 1, 2)
-                   for dx in (-2, -1, 0, 1, 2)]
-        pix_ch2d = [pix[..., c] for c in range(5)]
-        py2d, px2d = pix_ch2d[3], pix_ch2d[4]
-        cand_maps = cand_flat.reshape(H, W, len(offsets))
-        valid_maps = grid_flat.reshape(H, W, len(offsets))
-
-        def assign(centers, prev):
-            # Running min over the 25 candidates (unrolled); strict `<`
-            # with the ascending-id offset order reproduces argmin's
-            # first-minimum tie-breaking.
-            g = centers.reshape(gh, gw, 5)
-            gpad = jnp.pad(g, ((2, 2), (2, 2), (0, 0)))
-            best_dist = jnp.full((H, W), jnp.inf, jnp.float32)
-            best_id = prev.reshape(H, W)
-            found = jnp.zeros((H, W), bool)
-            for i, (dy, dx) in enumerate(offsets):
-                sub = gpad[2 + dy: 2 + dy + gh, 2 + dx: 2 + dx + gw]
-                ch = [_upsample(sub[..., c]) for c in range(5)]
-                dist = ratio * ((py2d - ch[3]) ** 2 + (px2d - ch[4]) ** 2)
-                for c in range(3):
-                    dist = dist + (pix_ch2d[c] - ch[c]) ** 2
-                # skimage's ±step search box around the CURRENT center
-                # (train-side windows: reference_pipeline.slic_np:156-158).
-                valid = (valid_maps[..., i]
-                         & (jnp.abs(py2d - jnp.floor(ch[3])) <= step)
-                         & (jnp.abs(px2d - jnp.floor(ch[4])) <= step))
-                better = valid & (dist < best_dist)
-                best_dist = jnp.where(better, dist, best_dist)
-                best_id = jnp.where(better, cand_maps[..., i], best_id)
-                found = found | valid
-            # a pixel covered by no box keeps its previous label (skimage
-            # leaves `labels` untouched where no window visits)
-            return jnp.where(found, best_id,
-                             prev.reshape(H, W)).reshape(-1)
-
-    if backend == "pallas":
         # The Pallas assign sweeps ALL K centers, so a drifted center can
-        # claim a pixel outside its 5×5 seed-cell window — the blocksum
-        # update below would silently drop such pixels. Keep the scatter
-        # moment accumulation for this backend.
+        # claim a pixel outside its 5×5 seed-cell window — the blocked
+        # one-hot update below would silently drop such pixels. Keep the
+        # scatter moment accumulation for this backend.
         def update(labels, centers):
             ones = jnp.ones((pix_flat.shape[0], 1), dtype=jnp.float32)
             moments = jax.ops.segment_sum(
@@ -226,61 +149,130 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
             count = moments[:, 5:6]
             new_centers = moments[:, :5] / jnp.maximum(count, 1.0)
             return jnp.where(count > 0, new_centers, centers)
+
+        labels0 = jnp.zeros((pix_flat.shape[0],), jnp.int32)
+        unblock = lambda lab: lab.reshape(H, W)
     else:
-        # Center update WITHOUT the per-iteration scatter. The natural form
-        # is a 6-channel segment_sum moment accumulation, but scatter calls
-        # on this TPU have a ~2 ms per-call floor that made the 9 update
-        # scatters ~3/4 of the whole SLIC loop. The key fact: every label a
-        # pixel can hold lies inside its OWN static 5×5 candidate window —
-        # at iteration 1 the pixel's own seed box always covers it
-        # (|p − seed| ≤ step − 1 per axis by the seed-grid construction,
-        # including clamped edge cells), and the no-box fallback keeps the
-        # previous in-window label, so membership holds inductively. Hence
-        # each pixel has a unique valid window slot o with
-        # cand_id(o) == label, and the moments decompose per seed block as
-        #   moments[cell + off(o)] = Σ_o shift_o(blocksum(pix6 · 1[o]))
-        # — a band-reshaped einsum (row bands) + reshape-sum (col bands) +
-        # 25 static grid-shift adds: all regular ops, zero scatters.
-        # Earlier blocked attempts (25 offset-masked full-image reduces;
-        # a materialized (H, W, 25, 6) product) measured SLOWER than the
-        # scatter; contracting the band axis straight out via dot_general
-        # never materializes the product. einsum precision must be HIGHEST:
-        # the TPU matmul default is bf16-grade and the moment sums reach
-        # ~10⁴ (CLAUDE.md numerical-parity trap).
-        nbh = -(-H // step)   # uniform step-row bands after zero-padding
+        # BLOCKED formulation. A pixel's 25 candidate centers depend only on
+        # its seed cell min(y//step, gh−1) — constant across each step×step
+        # block — so reshaping the image into (n_blocks, step², ch) turns
+        # the candidate lookup into ONE tiny per-block table (a (NB, 25, 5)
+        # gather from the (gh+4, gw+4) padded center grid) and the 25
+        # distance evaluations into a single fused elementwise pass over a
+        # (NB, step², 25) tensor. The previous full-image form read each
+        # candidate channel through a repeat-upsampled (H, W) map — 125
+        # materialized arrays per iteration — and measured 8× slower
+        # (30.5 → 3.8 ms/img for the 10-iteration loop at 352², bit-equal
+        # labels; the arithmetic below keeps the same per-term order).
+        nbh = -(-H // step)
         nbw = -(-W // step)
         Hp, Wp = nbh * step, nbw * step
-        cand_hw = cand_flat.reshape(H, W, 25)
-        valid_hw = grid_flat.reshape(H, W, 25)
-        pix6p = jnp.pad(
-            jnp.concatenate([pix, jnp.ones((H, W, 1), jnp.float32)], -1),
-            ((0, Hp - H), (0, 0), (0, 0)))
+        P = step * step
+        NB = nbh * nbw
 
+        def to_blocks(a):  # (H, W, C) zero-padded -> (NB, P, C)
+            C = a.shape[-1]
+            ap = jnp.pad(a, ((0, Hp - H), (0, Wp - W), (0, 0)))
+            return (ap.reshape(nbh, step, nbw, step, C)
+                    .transpose(0, 2, 1, 3, 4).reshape(NB, P, C))
+
+        pix_b = to_blocks(pix)                                    # (NB, P, 5)
+        # 6th channel = validity/count: zero at geometric pad pixels so they
+        # contribute nothing to the center moments (their labels are junk
+        # but are cropped before return and weighted 0 in the update).
+        pix6_b = jnp.concatenate(
+            [pix_b, to_blocks(jnp.ones((H, W, 1), jnp.float32))], -1)
+
+        # Static per-block candidate tables, ascending (dy, dx) order =
+        # ascending cluster id (skimage's first-wins tie-breaking).
+        offsets = [(dy, dx) for dy in (-2, -1, 0, 1, 2)
+                   for dx in (-2, -1, 0, 1, 2)]
+        ci = np.minimum(np.arange(nbh), gh - 1)
+        cj = np.minimum(np.arange(nbw), gw - 1)
+        dys = np.array([o[0] for o in offsets])
+        dxs = np.array([o[1] for o in offsets])
+        iy = ci[:, None] + dys[None, :]                 # (nbh, 25)
+        jx = cj[:, None] + dxs[None, :]                 # (nbw, 25)
+        in_grid_np = ((iy[:, None, :] >= 0) & (iy[:, None, :] < gh)
+                      & (jx[None, :, :] >= 0) & (jx[None, :, :] < gw))
+        iyc = np.clip(iy, 0, gh - 1)
+        jxc = np.clip(jx, 0, gw - 1)
+        # out-of-grid slots read a clamped (in-grid) center from gpad but
+        # are masked by in_grid; id −1 never matches a label in the update.
+        cand_id = jnp.asarray(
+            np.where(in_grid_np, iyc[:, None, :] * gw + jxc[None, :, :],
+                     -1).reshape(NB, 25), jnp.int32)
+        gpad_idx = jnp.asarray(
+            ((iyc + 2)[:, None, :] * (gw + 4)
+             + (jxc + 2)[None, :, :]).reshape(NB, 25), jnp.int32)
+        in_grid = jnp.asarray(in_grid_np.reshape(NB, 25))
+
+        pix_ch = [pix_b[..., c] for c in range(5)]
+        py, px = pix_ch[3], pix_ch[4]                             # (NB, P)
+        BIGID = jnp.int32(K)
+        INF = jnp.float32(np.inf)
+
+        def assign(centers, prev):
+            g = centers.reshape(gh, gw, 5)
+            gpad = jnp.pad(g, ((2, 2), (2, 2), (0, 0))).reshape(-1, 5)
+            cc = gpad[gpad_idx]                                  # (NB, 25, 5)
+            cy, cx = cc[..., 3], cc[..., 4]
+            dist = ratio * ((py[..., None] - cy[:, None, :]) ** 2
+                            + (px[..., None] - cx[:, None, :]) ** 2)
+            for c in range(3):
+                dist = dist + (pix_ch[c][..., None] - cc[:, None, :, c]) ** 2
+            # skimage's ±step search box around the CURRENT center
+            # (train-side windows: reference_pipeline.slic_np:156-158).
+            valid = (in_grid[:, None, :]
+                     & (jnp.abs(py[..., None] - jnp.floor(cy[:, None, :]))
+                        <= step)
+                     & (jnp.abs(px[..., None] - jnp.floor(cx[:, None, :]))
+                        <= step))
+            dist = jnp.where(valid, dist, INF)
+            best = jnp.min(dist, axis=-1)                        # (NB, P)
+            # min id among the minima == first minimum in ascending-id order.
+            lab = jnp.min(jnp.where(dist == best[..., None],
+                                    cand_id[:, None, :], BIGID), axis=-1)
+            # a pixel covered by no box keeps its previous label (skimage
+            # leaves `labels` untouched where no window visits)
+            return jnp.where(best < INF, lab, prev)
+
+        # Center update WITHOUT the per-iteration scatter (scatter calls pay
+        # a ~2 ms per-call floor on this TPU). Every label a pixel can hold
+        # lies inside its OWN static 5×5 candidate window — at iteration 1
+        # the pixel's own seed box always covers it (|p − seed| ≤ step − 1
+        # per axis by the seed-grid construction, including clamped edge
+        # cells), and the no-box fallback keeps the previous in-window
+        # label, so membership holds inductively. Hence the moments
+        # decompose per seed block as one-hot einsums placed by 25 static
+        # grid shifts — all regular ops, zero scatters. einsum precision
+        # must be HIGHEST: the TPU matmul default is bf16-grade and the
+        # moment sums reach ~10⁴ (CLAUDE.md numerical-parity trap).
         def update(labels, centers):
-            lab2 = labels.reshape(H, W)
-            oh = ((lab2[..., None] == cand_hw) & valid_hw).astype(jnp.float32)
-            ohp = jnp.pad(oh, ((0, Hp - H), (0, 0), (0, 0)))
-            b1 = jnp.einsum(
-                "nswo,nswc->nwoc",
-                ohp.reshape(nbh, step, W, 25),
-                pix6p.reshape(nbh, step, W, 6),
-                precision=jax.lax.Precision.HIGHEST)
-            if nbh > gh:  # clamped trailing band folds into the last cell row
-                b1 = b1.at[gh - 1].add(b1[gh])[:gh]
-            b1 = jnp.pad(b1, ((0, 0), (0, Wp - W), (0, 0), (0, 0)))
-            b2 = b1.reshape(gh, nbw, step, 25, 6).sum(2)
+            oh = (labels[..., None] == cand_id[:, None, :]).astype(jnp.float32)
+            mom_bo = jnp.einsum("bpo,bpc->boc", oh, pix6_b,
+                                precision=jax.lax.Precision.HIGHEST)
+            mb = mom_bo.reshape(nbh, nbw, 25, 6)
+            if nbh > gh:  # clamped trailing bands fold into the last cell row
+                mb = mb.at[gh - 1].add(mb[gh:].sum(0))[:gh]
             if nbw > gw:
-                b2 = b2.at[:, gw - 1].add(b2[:, gw])[:, :gw]
+                mb = mb.at[:, gw - 1].add(mb[:, gw:].sum(1))[:, :gw]
             # Offset o = (dy, dx) of block (i, j) feeds center (i+dy, j+dx):
             # 25 static shifted adds on the tiny (gh, gw, 6) grid.
             mom = jnp.zeros((gh + 4, gw + 4, 6), jnp.float32)
             for o, (dy, dx) in enumerate(offsets):
                 mom = mom.at[2 + dy:2 + dy + gh, 2 + dx:2 + dx + gw].add(
-                    b2[:, :, o])
+                    mb[:, :, o])
             mom = mom[2:2 + gh, 2:2 + gw].reshape(K, 6)
             count = mom[:, 5:6]
             new_centers = mom[:, :5] / jnp.maximum(count, 1.0)
             return jnp.where(count > 0, new_centers, centers)
+
+        labels0 = jnp.zeros((NB, P), jnp.int32)
+
+        def unblock(lab):
+            return (lab.reshape(nbh, nbw, step, step)
+                    .transpose(0, 2, 1, 3).reshape(Hp, Wp)[:H, :W])
 
     def body(_, state):
         labels, centers = state
@@ -288,18 +280,16 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
         centers = update(labels, centers)
         return labels, centers
 
-    labels0 = jnp.zeros((pix_flat.shape[0],), jnp.int32)
     # num_iters-1 full (assign, update) rounds + one final assign: the last
-    # round's center update feeds nothing (labels are the output), and the
-    # update segment_sum is the costliest op in the loop (~2.3 ms/image at
-    # 352² — the TPU scatter floor). Labels are identical by construction.
+    # round's center update feeds nothing (labels are the output). Labels
+    # are identical by construction.
     if num_iters > 0:
         labels, centers = jax.lax.fori_loop(0, num_iters - 1, body,
                                             (labels0, centers0))
         labels = assign(centers, labels)
     else:
         labels = labels0
-    labels = labels.reshape(H, W).astype(jnp.int32)
+    labels = unblock(labels).astype(jnp.int32)
 
     if enforce_connectivity:
         from camouflage_multimodal_tpu.ops.connectivity import (
