@@ -158,48 +158,47 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     # and compact-id order IS raster order of first pixels, which the
     # final relabel exploits (plain cumsum, no sort).
     C = min(16 * n_segments, HW)  # generous static bound on component count
-    flat0 = comp0.ravel()
+    assert C < (1 << 24)
+    _SMALL_BIT = jnp.int32(1 << 24)
+    flatroot = comp0.ravel()
     # A root is a pixel whose component min-index is itself; ranking roots
     # by raster position is a plain cumsum over the root indicator — no
     # HW-sized sort (the sort cost ~2 ms/img; the cumsum is a vector scan).
-    is_root = flat0 == idx_flat
+    is_root = flatroot == idx_flat
     ranks = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank AT each root pixel
+    # Component sizes keyed by the RAW root (counts land at root pixel
+    # positions) — computable before any compaction, so compact id AND
+    # smallness reach the pixels in ONE packed gather below. Irregular
+    # HW-sized ops (gather/scatter/segment_*) cost ~12–19 ms per batch-16
+    # call at 352² regardless of the table size, so the prologue is
+    # budgeted in "number of irregular ops": one segment_sum + one gather
+    # (the earlier form paid rank-gather + size-scatter + smallness-gather).
+    size_t = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flatroot,
+                                 num_segments=HW)
+    small_t = (size_t > 0) & (size_t < min_size)
     # Clamp defends the static bound in pathological fragment blow-ups
     # (merges any overflow fragments into the last id).
-    flat0 = jnp.minimum(ranks[flat0], C - 1)  # compact ids in [0, C)
+    packed_t = jnp.minimum(ranks, C - 1) + jnp.where(small_t, _SMALL_BIT, 0)
+    g0 = packed_t[flatroot]                     # the ONE prologue HW gather
+    flat0 = g0 & (_SMALL_BIT - 1)               # compact ids in [0, C)
+    small0 = (g0 >= _SMALL_BIT).reshape(H, W)
     size0 = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat0,
                                 num_segments=C)
 
     ident = jnp.arange(C, dtype=jnp.int32)
     nbr_idx = _neighbor_shifts(idx_flat.reshape(H, W), big)
     n_jumps = max(int(C - 1).bit_length(), 1)
-    # Pack (current id, smallness-of-current) into one int so each round
-    # needs a SINGLE HW-sized table gather (id < C ≤ 2^24 always: C is
-    # capped at 16·n_segments and scatter buckets cap n_segments far below
-    # 2^20 in practice; assert statically anyway).
-    assert C < (1 << 24)
-    _SMALL_BIT = jnp.int32(1 << 24)
 
-    def merge_round(state):
-        """One absorption round, HW-work-minimal: the original compact map
-        ``flat0`` is STATIC across rounds; rounds compose a C-sized
-        ``cur`` (orig id → current id) map and C-sized ``size`` table.
-        Per-round HW-sized irregular work is exactly one packed gather
-        (current id + smallness per pixel) and one segment_min (raster-
-        first ring pixel per component); everything else is shifts,
-        vector ops, or C-sized table work.
+    def absorb_pass(comp, small, cur, size):
+        """One absorption round given per-pixel (comp, small) maps.
+        HW-sized irregular work is exactly one segment_min (raster-first
+        ring pixel per component); everything else is shifts, vector ops,
+        or C-sized table work on the composed ``cur``/``size`` state.
 
         Small components merge into the component owning their
         raster-first LARGE ring pixel; a small component with no large
         contact falls back to its raster-first smaller-id small neighbor
         (strictly decreasing targets, hence no merge cycles)."""
-        cur, size, rounds = state
-        small_c = (size > 0) & (size < min_size)
-        packed_c = cur + jnp.where(small_c[cur], _SMALL_BIT, 0)
-        g = packed_c[flat0].reshape(H, W)          # the ONE HW gather
-        comp = g & (_SMALL_BIT - 1)
-        small = g >= _SMALL_BIT
-
         comp_n = _neighbor_shifts(comp, -1)
         small_n = _neighbor_shifts(small, True)
         best = jnp.full((H, W), big, jnp.int32)
@@ -231,6 +230,24 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
         # (or not at all: the final relabel also composes through ``cur``).
         cur = absorb[cur]
         size = jax.ops.segment_sum(size, absorb, num_segments=C)
+        return cur, size
+
+    # ROUND 1 PEELED: on round 1 ``cur`` is the identity, so the per-pixel
+    # (comp, small) maps are exactly the prologue's packed-gather outputs —
+    # no in-loop HW gather. On real SLIC maps the fixpoint converges after
+    # this one round (measured over diverse COD10K batches), so the
+    # while_loop below usually runs ZERO iterations and the steady-state
+    # per-image cost is prologue + one segment_min + relabel.
+    cur, size = absorb_pass(flat0.reshape(H, W), small0, ident, size0)
+
+    def merge_round(state):
+        cur, size, rounds = state
+        small_c = (size > 0) & (size < min_size)
+        packed_c = cur + jnp.where(small_c[cur], _SMALL_BIT, 0)
+        g = packed_c[flat0].reshape(H, W)          # the ONE HW gather
+        comp = g & (_SMALL_BIT - 1)
+        small = g >= _SMALL_BIT
+        cur, size = absorb_pass(comp, small, cur, size)
         return cur, size, rounds + 1
 
     def merge_cond(state):
@@ -245,7 +262,7 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
             rounds < _MAX_MERGE_ROUNDS)
 
     cur, size, _ = jax.lax.while_loop(
-        merge_cond, merge_round, (ident, size0, jnp.int32(0)))
+        merge_cond, merge_round, (cur, size, jnp.int32(1)))
 
     # Sequential relabel of survivors by raster order of their first pixel.
     # Compact ids ascend in raster order of first pixels and absorbing
