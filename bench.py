@@ -139,9 +139,15 @@ def main():
         t1.append(time.perf_counter() - t0)
     p50_batch1_ms = float(np.median(t1)) * 1000.0
 
-    # --- end-to-end: native decode double-buffered against device compute ---
-    # The decode worker prepares AND device_puts batch i+1 (uint8, 4x smaller
-    # on the tunneled host link) while the device runs batch i.
+    # --- end-to-end: decode ∥ transfer ∥ compute, a 3-stage pipeline -------
+    # The tunneled host link moves a uint8 batch at only ~27 MB/s (~200 ms
+    # at 16×352² — chunked, RTT-bound; parallel streams do NOT help, the
+    # tunnel serializes), and native decode costs ~160 ms/batch. A single
+    # producer that decodes THEN transfers serializes those (~360 ms) and
+    # overtakes device compute (~300 ms) as the bottleneck. Splitting them
+    # into separate workers pipelines decode of batch i+2 against transfer
+    # of batch i+1 against compute of batch i, so the e2e rate tracks
+    # max(decode, transfer, compute) instead of decode+transfer.
     e2e_imgs_per_sec = None
     e2e_draft_imgs_per_sec = None
     paths = _image_paths(4 * BATCH)
@@ -151,19 +157,29 @@ def main():
         path_batches = [paths[i * BATCH:(i + 1) * BATCH] for i in range(4)]
 
         def run_e2e(draft):
-            def produce(pb):
-                return jnp.asarray(_decode_batch_u8(pb, draft=draft))
+            def decode(pb):
+                return _decode_batch_u8(pb, draft=draft)
+
+            def transfer(arr):
+                dev = jnp.asarray(arr)
+                np.asarray(dev[0, 0, 0, 0])  # copy really on device
+                return dev
 
             # warm the uint8-input executable (scalar pull = real barrier)
-            np.asarray(pipe(rg_vars, fusion_vars, produce(path_batches[0]),
+            np.asarray(pipe(rg_vars, fusion_vars,
+                            transfer(decode(path_batches[0])),
                             kg)["score"][0, 0])
 
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                fut = ex.submit(produce, path_batches[0])
+            with ThreadPoolExecutor(max_workers=1) as dec_ex, \
+                 ThreadPoolExecutor(max_workers=1) as tx_ex:
+                dec_fut = dec_ex.submit(decode, path_batches[0])
+                tx_fut = tx_ex.submit(transfer, dec_fut.result())
+                dec_fut = dec_ex.submit(decode, path_batches[1])
                 t0 = time.perf_counter()
                 for i in range(E2E_ITERS):
-                    dev_batch = fut.result()
-                    fut = ex.submit(produce, path_batches[(i + 1) % 4])
+                    dev_batch = tx_fut.result()
+                    tx_fut = tx_ex.submit(transfer, dec_fut.result())
+                    dec_fut = dec_ex.submit(decode, path_batches[(i + 2) % 4])
                     out = pipe(rg_vars, fusion_vars, dev_batch, kg)
                     # Force THIS batch to complete before the next — the
                     # honest pipelined rate, not the enqueue rate.
