@@ -94,10 +94,12 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
                 failed.append((f, str(e)))
         return images, names
 
-    def _produce(chunk):
-        """Decode + pad + ship one uint8 batch (runs in the prefetch thread
-        while the device computes the previous batch)."""
-        images, names = _decode_chunk(chunk)
+    def _upload(decoded):
+        """Pad + ship one uint8 batch (its own pipeline stage: the tunneled
+        link moves a batch at ~27 MB/s, comparable to decode cost — chaining
+        them in one worker would serialize ~360 ms against ~300 ms of device
+        compute)."""
+        images, names = decoded
         if not images:
             return None, names
         batch = np.stack(images)
@@ -105,7 +107,9 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
             pad = batch_size - batch.shape[0]
             batch = np.concatenate(
                 [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-        return jnp.asarray(batch), names
+        dev = jnp.asarray(batch)
+        np.asarray(dev[0, 0, 0, 0])  # copy really on device before handoff
+        return dev, names
 
     def _record_batch(names, out):
         node_mask = out["node_mask"]
@@ -142,11 +146,14 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
         log_fn(f"  {done}/{total} images ({rate:.1f} img/s, "
                f"ETA {((total - done) / max(rate, 1e-9)):.0f}s)")
 
-    # Three-stage software pipeline: the worker thread decodes + ships batch
-    # i+1 while the device runs batch i and the main thread post-processes
-    # batch i-1. ONE device→host pull per batch (jax.device_get of a dict)
-    # instead of one per output — per-call RTT, not bandwidth, dominates
-    # this loop on a tunneled host.
+    # Four-stage software pipeline over batches: decode (C++ threads) ∥
+    # host→device upload ∥ device compute ∥ device→host download, with the
+    # record step on the main thread. Decode, upload, and download each cost
+    # a sizeable fraction of the ~300 ms device program on this tunneled
+    # host (~160/200/200 ms per 16×352² batch — the link moves ~27 MB/s), so
+    # each gets its own worker; throughput tracks the SLOWEST stage instead
+    # of their sum. ONE device→host pull per batch (jax.device_get of a
+    # dict) instead of one per output — per-call RTT also matters here.
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
@@ -156,23 +163,35 @@ def batch_extract_embeddings(pipeline: RegionGraphPipeline, variables,
         pull_keys += ["segments", "region_features"]
     chunks = [image_files[i: i + batch_size]
               for i in range(0, total, batch_size)]
-    pending = None  # (names, device outputs) of the in-flight batch
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(_produce, chunks[0]) if chunks else None
-        for ci in range(len(chunks) + 1):
-            if ci < len(chunks):
-                dev_batch, names = fut.result()
-                if ci + 1 < len(chunks):
-                    fut = ex.submit(_produce, chunks[ci + 1])
-                nxt = ((names, pipeline(variables, dev_batch))
-                       if dev_batch is not None else None)
-            else:
-                nxt = None
-            if pending is not None:
-                names_prev, out_dev = pending
-                _record_batch(names_prev, jax.device_get(
-                    {k: out_dev[k] for k in pull_keys}))
-            pending = nxt
+    n = len(chunks)
+
+    def _download(names, out_dev):
+        return names, jax.device_get({k: out_dev[k] for k in pull_keys})
+
+    with ThreadPoolExecutor(max_workers=1) as dec_ex, \
+            ThreadPoolExecutor(max_workers=1) as up_ex, \
+            ThreadPoolExecutor(max_workers=1) as down_ex:
+        dec_fut = dec_ex.submit(_decode_chunk, chunks[0]) if n else None
+        up_fut = None
+        if n:
+            up_fut = up_ex.submit(_upload, dec_fut.result())
+            dec_fut = dec_ex.submit(_decode_chunk, chunks[1]) if n > 1 else None
+        down_fut = None
+        for ci in range(n):
+            dev_batch, names = up_fut.result()
+            if ci + 1 < n:
+                up_fut = up_ex.submit(_upload, dec_fut.result())
+                if ci + 2 < n:
+                    dec_fut = dec_ex.submit(_decode_chunk, chunks[ci + 2])
+            out = (pipeline(variables, dev_batch)
+                   if dev_batch is not None else None)
+            if down_fut is not None:
+                _record_batch(*down_fut.result())
+                down_fut = None
+            if out is not None:
+                down_fut = down_ex.submit(_download, names, out)
+        if down_fut is not None:
+            _record_batch(*down_fut.result())
 
     total_time = time.time() - start
     successful = len(all_embeddings)
