@@ -98,6 +98,39 @@ def test_rg_embedding_store_roundtrip(rg_store):
         assert rec["num_nodes"] > 10
 
 
+def test_extraction_tolerates_failed_decodes(rg_setup, workdir, tmp_path):
+    """Per-item fault tolerance through the 4-stage extraction pipeline
+    (reference behavior: extract_rg_embeddings.py:415-422 records failures
+    and continues). One chunk is made ENTIRELY undecodable so the loop also
+    exercises the dev_batch-is-None skip path between pipeline stages."""
+    from camouflage_multimodal_tpu.extract import batch_extract_embeddings
+
+    _, pipe, variables, _ = rg_setup
+    img_dir = os.path.join(REF, "data/COD10K/images")
+    if not os.path.isdir(img_dir):
+        pytest.skip("reference data unavailable")
+    src = sorted(glob.glob(os.path.join(img_dir, "*.jpg")))[:4]
+    d = tmp_path / "imgs"
+    d.mkdir()
+    import shutil
+
+    # names sort so the two corrupt files form the complete middle chunk
+    # (batch_size=2): [a_ok, b_ok] [c_bad, d_bad] [e_ok, f_ok]
+    for i, p in enumerate(src):
+        shutil.copy(p, d / f"{chr(97 + i) if i < 2 else chr(99 + i)}_ok.jpg")
+    (d / "c_bad.jpg").write_bytes(b"\xff\xd8not a real jpeg")
+    (d / "d_bad.jpg").write_bytes(b"")
+    out_dir = str(workdir / "rg_embeddings_faulty")
+    store, summary = batch_extract_embeddings(pipe, variables, str(d), out_dir,
+                                              batch_size=2,
+                                              log_fn=lambda *_: None)
+    pt = summary["processing_time"]
+    assert pt["successful_images"] == 4
+    assert pt["failed_images"] == 2
+    assert len(store) == 4
+    assert all(k.endswith("_ok.jpg") for k in store)
+
+
 def test_matcher_and_fusion_training(rg_store, kg_store_path, workdir):
     from camouflage_multimodal_tpu.data.matcher import EmbeddingMatcher
     from camouflage_multimodal_tpu.train.train_fusion import FusionDataset, FusionTrainer
