@@ -31,6 +31,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from camouflage_multimodal_tpu.core.runtime import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 WARMUP = 5
 ITERS = int(os.environ.get("BENCH_ITERS", 30))

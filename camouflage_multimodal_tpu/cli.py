@@ -244,6 +244,13 @@ def _add_resume(p):
 
 
 def main(argv=None):
+    # Cross-process XLA compile cache (this runtime ignores the env var —
+    # see core/runtime.py); repeat CLI invocations skip the 20-60 s compiles.
+    from camouflage_multimodal_tpu.core.runtime import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
+
     parser = argparse.ArgumentParser(prog="camouflage_multimodal_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -39,6 +39,10 @@ import torch
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from camouflage_multimodal_tpu.core.runtime import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 REF_DATA = "/root/reference/data/COD10K"
 OUT_DIR = "artifacts/fidelity"
 CACHE = os.path.join(OUT_DIR, "graphs")

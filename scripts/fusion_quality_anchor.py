@@ -33,6 +33,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
+from camouflage_multimodal_tpu.core.runtime import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 REF_DATA = "/root/reference/data/COD10K"
 
 

@@ -24,6 +24,11 @@ sys.path.insert(0, REPO)
 import jax                      # noqa: E402
 import jax.numpy as jnp         # noqa: E402
 
+from camouflage_multimodal_tpu.core.runtime import (  # noqa: E402
+    enable_persistent_compile_cache)
+
+enable_persistent_compile_cache()
+
 
 def timed(fn, args, iters, warmup=3):
     for _ in range(warmup):

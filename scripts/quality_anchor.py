@@ -30,6 +30,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
 
+from camouflage_multimodal_tpu.core.runtime import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 from fidelity_gate import OUT_DIR, REF_DATA, quadruples  # noqa: E402
 
 CKPT = "artifacts/quality/rg_jax_anchor.ckpt"

@@ -36,6 +36,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from camouflage_multimodal_tpu.core.runtime import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 REF_SUMMARY = ("/root/reference/models/region_graph/rg_embeddings/"
                "embedding_summary.json")
 IMG_DIR = "/root/reference/data/COD10K/images"

@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from camouflage_multimodal_tpu.core.runtime import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 import numpy as np
 
 

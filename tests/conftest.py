@@ -12,10 +12,13 @@ platform.
 
 import os
 
-# Persistent XLA compilation cache: repeat test runs skip the 20-40s
-# compiles of the big pipeline programs.
+# Persistent XLA compilation cache: repeat test runs skip the 20-60s
+# compiles of the big pipeline programs. NOTE: this runtime's sitecustomize
+# IGNORES the JAX_COMPILATION_CACHE_DIR env var (like JAX_PLATFORMS) — the
+# config knob below is the one that works; the env vars are kept for any
+# subprocesses running a stock JAX.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 if os.environ.get("FORCE_CPU_TESTS") == "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -34,6 +37,11 @@ if os.environ.get("FORCE_CPU_TESTS") == "1":
 # Parity suite: goldens are f32 torch/scipy — run every matmul at f32 on the
 # MXU (the TPU default is bf16-grade and drifts ~1e-3 through deep stacks).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+from camouflage_multimodal_tpu.core.runtime import (  # noqa: E402
+    enable_persistent_compile_cache)
+
+enable_persistent_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
