@@ -297,27 +297,81 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
     if max_images:
         files = files[:max_images]
 
-    heatmaps, gts = [], []
-    for i in range(0, len(files), batch_size):
-        chunk = files[i: i + batch_size]
-        imgs, masks = [], []
-        for f in chunk:
-            gt_path = os.path.join(gt_dir, os.path.splitext(f)[0] + ".png")
-            if not os.path.exists(gt_path):
-                continue
-            imgs.append(load_image_rgb(os.path.join(image_dir, f), pipeline.image_size))
-            masks.append(load_mask(gt_path, pipeline.image_size))
-        if not imgs:
-            continue
+    # 4-stage software pipeline (decode ∥ upload ∥ compute ∥ download) —
+    # same structure as extract.batch_extract_embeddings: on the tunneled
+    # host, decode, the uint8 upload, and the heatmap download each cost a
+    # sizeable fraction of the device program, so serializing them made
+    # directory eval host-bound.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from camouflage_multimodal_tpu import native
+
+    size = pipeline.image_size
+
+    def _decode(chunk):
+        """(uint8 images, float masks) for the chunk's GT-paired files."""
+        pairs = [(f, os.path.join(gt_dir, os.path.splitext(f)[0] + ".png"))
+                 for f in chunk]
+        pairs = [(f, g) for f, g in pairs if os.path.exists(g)]
+        if not pairs:
+            return None, None
+        img_paths = [os.path.join(image_dir, f) for f, _ in pairs]
+        if native.available():
+            batch_u8, ok = native.load_batch_u8(img_paths, size)
+            imgs = [batch_u8[j] if ok[j] else
+                    (load_image_rgb(p, size) * 255.0).round().astype(np.uint8)
+                    for j, p in enumerate(img_paths)]
+        else:
+            imgs = [(load_image_rgb(p, size) * 255.0).round().astype(np.uint8)
+                    for p in img_paths]
+        masks = [load_mask(g, size) for _, g in pairs]
+        return imgs, masks
+
+    def _upload(decoded):
+        imgs, masks = decoded
+        if imgs is None:
+            return None, None
         batch = np.stack(imgs)
         # Pad every partial batch (first included) to keep one compiled shape.
         if batch.shape[0] < batch_size:
             pad = batch_size - batch.shape[0]
-            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-        out = pipeline(variables, jnp.asarray((batch * 255.0).round().astype(np.uint8)))
-        hm = np.asarray(out["heatmap"])
-        heatmaps.append(hm[: len(imgs)])
-        gts.append(np.stack(masks))
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+        dev = jnp.asarray(batch)
+        np.asarray(dev[0, 0, 0, 0])  # copy really on device before handoff
+        return dev, masks
+
+    def _download(out, n_valid):
+        return np.asarray(out["heatmap"])[:n_valid]
+
+    chunks = [files[i: i + batch_size]
+              for i in range(0, len(files), batch_size)]
+    n = len(chunks)
+    heatmaps, gts = [], []
+    with ThreadPoolExecutor(max_workers=1) as dec_ex, \
+            ThreadPoolExecutor(max_workers=1) as up_ex, \
+            ThreadPoolExecutor(max_workers=1) as down_ex:
+        dec_fut = dec_ex.submit(_decode, chunks[0]) if n else None
+        up_fut = None
+        if n:
+            up_fut = up_ex.submit(_upload, dec_fut.result())
+            dec_fut = dec_ex.submit(_decode, chunks[1]) if n > 1 else None
+        down_fut = None
+        for ci in range(n):
+            dev_batch, masks = up_fut.result()
+            if ci + 1 < n:
+                up_fut = up_ex.submit(_upload, dec_fut.result())
+                if ci + 2 < n:
+                    dec_fut = dec_ex.submit(_decode, chunks[ci + 2])
+            if down_fut is not None:
+                heatmaps.append(down_fut.result())
+                down_fut = None
+            if dev_batch is not None:
+                out = pipeline(variables, dev_batch)
+                down_fut = down_ex.submit(_download, out, len(masks))
+                gts.append(np.stack(masks))
+        if down_fut is not None:
+            heatmaps.append(down_fut.result())
 
     preds = jnp.asarray(np.concatenate(heatmaps))
     gt = jnp.asarray(np.concatenate(gts))
