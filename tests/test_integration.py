@@ -184,6 +184,37 @@ def test_detect_api(rg_setup, workdir, sample_image_paths):
     assert os.path.exists(str(workdir / "results" / f"detection_{os.path.basename(sample_image_paths[0])}"))
 
 
+def test_evaluate_directory_pipelined(rg_setup, tmp_path):
+    """Batched directory eval through the 4-stage decode∥upload∥compute∥
+    download loop: partial final batch, one image without GT (skipped), and
+    a sane metric dict (reference contract: region_graph/test.py:274-300
+    metrics computed over every GT-paired image)."""
+    import shutil
+
+    from camouflage_multimodal_tpu.api import evaluate_directory
+
+    _, _, _, ckpt = rg_setup
+    img_src = os.path.join(REF, "data/COD10K/images")
+    gt_src = os.path.join(REF, "data/COD10K/gt_object")
+    if not os.path.isdir(img_src):
+        pytest.skip("reference data unavailable")
+    imgs = sorted(glob.glob(os.path.join(img_src, "*.jpg")))[:6]
+    d_img, d_gt = tmp_path / "img", tmp_path / "gt"
+    d_img.mkdir(), d_gt.mkdir()
+    for i, p in enumerate(imgs):
+        shutil.copy(p, d_img / os.path.basename(p))
+        if i != 3:  # drop one GT -> that image must be skipped, not crash
+            base = os.path.splitext(os.path.basename(p))[0] + ".png"
+            shutil.copy(os.path.join(gt_src, base), d_gt / base)
+    report = evaluate_directory(ckpt, str(d_img), str(d_gt),
+                                n_segments=N_SEG, batch_size=4)
+    for key in ("iou", "dice", "f1", "mae", "s_measure", "e_measure",
+                "e_adaptive", "f_adaptive"):
+        assert key in report and np.isfinite(report[key])
+    assert 0.0 <= report["iou"] <= 1.0
+    assert 0.0 <= report["mae"] <= 1.0
+
+
 def test_native_loader_matches_pil(sample_image_paths):
     from camouflage_multimodal_tpu import native
     from camouflage_multimodal_tpu.data.cod10k import load_image_rgb, load_mask
