@@ -234,6 +234,14 @@ def cmd_evaluate(args):
     print(json.dumps(metrics, indent=2))
 
 
+def cmd_serve(args):
+    from camouflage_multimodal_tpu.serve import serve_forever
+
+    serve_forever(args.checkpoint, args.rg_model, args.kg_embeddings,
+                  host=args.host, port=args.port, batch_size=args.batch_size,
+                  max_wait_ms=args.max_wait_ms, n_segments=args.n_segments)
+
+
 def _add_resume(p):
     """Mid-training resume (params + opt state + epoch + RNG; beyond the
     reference, which could only restart from scratch)."""
@@ -345,6 +353,22 @@ def main(argv=None):
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=16)
     p.set_defaults(func=cmd_evaluate)
+
+    # beyond-reference: micro-batching HTTP inference server (serve.py)
+    p = sub.add_parser("serve", help="HTTP inference server with TPU "
+                                     "micro-batching (POST /predict)")
+    p.add_argument("--checkpoint", required=True,
+                   help="fusion checkpoint (.ckpt or reference .pth)")
+    p.add_argument("--rg-model", default="best_model.ckpt")
+    p.add_argument("--kg-embeddings", default="kg_embeddings/all_embeddings.npz")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="fixed device batch; requests coalesce into it")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="max coalescing wait after the first request")
+    p.add_argument("--n-segments", type=int, default=500)
+    p.set_defaults(func=cmd_serve)
 
     args = parser.parse_args(argv)
     args.func(args)

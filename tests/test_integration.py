@@ -5,6 +5,7 @@ matcher → fusion dataset/trainer → multimodal predictor → detect API.
 Mirrors the reference's end-to-end usage (SURVEY.md §3 call stacks).
 """
 
+import base64
 import glob
 import os
 
@@ -293,3 +294,37 @@ def test_multimodal_predictor_end_to_end(rg_setup, rg_store, kg_store_path, work
     assert attn["rg2kg"].shape[1] == len(kg_ordered)
     np.testing.assert_allclose(np.asarray(predictions["mask_prob"]).sum(), 1.0,
                                atol=1e-5)
+
+    # Full-stack serving round-trip over the same predictor: HTTP bytes in,
+    # reference-schema JSON out, one fixed-shape batch program underneath
+    # (serve.py; machinery unit tests live in test_serve.py).
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    from PIL import Image
+
+    from camouflage_multimodal_tpu.serve import InferenceService, make_server
+
+    service = InferenceService(predictor, batch_size=2, max_wait_ms=1.0)
+    server = make_server(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        with open(img_path, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(url + "/predict?heatmap=1", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            resp = _json.loads(r.read())
+        assert resp["mask_pred"] == predictions["mask_pred"]
+        np.testing.assert_allclose(resp["score"], predictions["score"],
+                                   atol=1e-5)
+        assert resp["classification"]
+        png = base64.b64decode(resp["heatmap_png_base64"])
+        heat = np.asarray(Image.open(io.BytesIO(png)))
+        assert heat.shape == (IMG_SIZE, IMG_SIZE)
+    finally:
+        server.shutdown()
+        service.close()
