@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -47,6 +48,22 @@ def shard_batch(tree: Any, mesh: Mesh) -> Any:
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def shard_spatial(images: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Shard image ROWS over the ``model`` axis (spatial parallelism).
+
+    For batch-1 / high-resolution inputs the ``data`` axis cannot help — one
+    image is one shard. Splitting the height axis across chips instead lets
+    GSPMD partition the stencil stages of the region-graph build (Gaussian,
+    Sobel, NMS, the banded SLIC assign/update) with halo exchanges on ICI and
+    fall back to collectives for the global passes (connectivity min-scans,
+    segment reductions). Same program, same math — only the layout changes,
+    so this composes with ``shard_batch`` (batch over ``data``, rows over
+    ``model``). Used by ``RegionGraphPipeline(spatial=True)``.
+    """
+    spec = P("data", "model", *([None] * (images.ndim - 2)))
+    return jax.device_put(images, NamedSharding(mesh, spec))
 
 
 def shard_fusion_params(params: Any, mesh: Mesh) -> Any:

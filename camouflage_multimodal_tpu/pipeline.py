@@ -144,7 +144,7 @@ class RegionGraphPipeline:
     def __init__(self, model: RegionGraphGNN, n_segments: int = 500,
                  image_size: int = 256, max_nodes: Optional[int] = None,
                  slic_iters: int = 10, paint_mapping: str = "corrected",
-                 mesh=None) -> None:
+                 mesh=None, spatial: bool = False) -> None:
         self.model = model
         self.n_segments = n_segments
         self.image_size = image_size
@@ -155,12 +155,20 @@ class RegionGraphPipeline:
         self.paint_mapping = paint_mapping
         # Data-parallel mesh: batches shard over the ``data`` axis, the
         # per-image pipeline runs embarrassingly parallel across chips.
+        # spatial=True additionally shards image ROWS over the ``model``
+        # axis (sp — batch-1 / high-res latency scaling; see
+        # parallel.sharding.shard_spatial).
         self.mesh = mesh
+        self.spatial = spatial
         self._forward = jax.jit(self._forward_impl)
 
     def _shard_images(self, images):
         if self.mesh is None:
             return images
+        if self.spatial and self.mesh.shape.get("model", 1) > 1:
+            from camouflage_multimodal_tpu.parallel.sharding import shard_spatial
+
+            return shard_spatial(images, self.mesh)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         spec = P("data", *([None] * (images.ndim - 1)))

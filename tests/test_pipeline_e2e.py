@@ -123,6 +123,64 @@ def test_dryrun_multichip_8_and_2_devices():
     assert result.stdout.count("dryrun_multichip ok") == 2
 
 
+def test_spatial_sharding_matches_unsharded(sample_image_paths):
+    """sp: image rows sharded over the ``model`` axis (batch-1 / high-res
+    latency scaling) must produce the same region graphs and heatmap as the
+    unsharded program — same math, different layout; GSPMD inserts the halo
+    exchanges for the stencils and collectives for the CC scans. Runs on a
+    forced 4-device CPU platform (the live topology is one chip)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=4").strip()
+    code = f"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+import sys; sys.path.insert(0, '/root/repo')
+import numpy as np, jax.numpy as jnp
+from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
+from camouflage_multimodal_tpu.pipeline import RegionGraphPipeline, padded_nodes
+from camouflage_multimodal_tpu.parallel.sharding import make_mesh, replicate
+
+size, nseg = 128, 64
+img = load_image_rgb({sample_image_paths[0]!r}, size)[None]
+model = RegionGraphGNN()
+K = padded_nodes(nseg, size)
+variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, K, 15)),
+                       jnp.zeros((1, K, K), bool), jnp.zeros((1, K, K)),
+                       jnp.ones((1, K), bool))
+plain = RegionGraphPipeline(model, n_segments=nseg, image_size=size,
+                            max_nodes=K, slic_iters=3)
+ref = plain(variables, jnp.asarray(img))
+
+mesh = make_mesh(jax.devices(), data_axis=1, model_axis=4)
+sp = RegionGraphPipeline(model, n_segments=nseg, image_size=size,
+                         max_nodes=K, slic_iters=3, mesh=mesh, spatial=True)
+with mesh:
+    out = sp(replicate(variables, mesh), jnp.asarray(img))
+    out['heatmap'].block_until_ready()
+
+seg_ref = np.asarray(ref['segments']); seg_sp = np.asarray(out['segments'])
+agree = (seg_ref == seg_sp).mean()
+assert agree > 0.995, f'segment agreement {{agree}}'
+hm_ref = np.asarray(ref['heatmap']); hm_sp = np.asarray(out['heatmap'])
+same = seg_ref == seg_sp
+assert np.allclose(hm_ref[same], hm_sp[same], atol=1e-4), \
+    float(np.abs(hm_ref[same] - hm_sp[same]).max())
+nv_ref = np.asarray(ref['node_mask']).sum(); nv_sp = np.asarray(out['node_mask']).sum()
+assert nv_ref == nv_sp, (nv_ref, nv_sp)
+print('spatial ok', agree)
+"""
+    result = subprocess.run([sys.executable, "-c", code], env=env,
+                            capture_output=True, text=True, timeout=900)
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "spatial ok" in result.stdout
+
+
 def test_multimodal_pipeline_late_fusion(rng, sample_image_paths):
     """Late-fusion models expose no attention maps; the pipeline must still
     produce all head outputs (regression test for attention=None handling)."""
