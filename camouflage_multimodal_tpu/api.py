@@ -285,6 +285,10 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
     if data_parallel is None:
         data_parallel = n_dev > 1 and batch_size % n_dev == 0
     if data_parallel and n_dev > 1:
+        if batch_size % n_dev != 0:
+            raise ValueError(
+                f"data_parallel eval needs batch_size divisible by the "
+                f"device count: batch_size={batch_size}, devices={n_dev}")
         from camouflage_multimodal_tpu.parallel.sharding import make_mesh
 
         mesh = make_mesh(model_axis=1)
@@ -363,13 +367,19 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
                 up_fut = up_ex.submit(_upload, dec_fut.result())
                 if ci + 2 < n:
                     dec_fut = dec_ex.submit(_decode, chunks[ci + 2])
+            out = None
+            if dev_batch is not None:
+                # Dispatch is async on this runtime: enqueue batch ci's
+                # compute BEFORE draining batch ci-1's download so the
+                # device crunches ci while the host pulls ci-1's heatmaps
+                # (extract.batch_extract_embeddings orders it the same way).
+                out = pipeline(variables, dev_batch)
+                gts.append(np.stack(masks))
             if down_fut is not None:
                 heatmaps.append(down_fut.result())
                 down_fut = None
-            if dev_batch is not None:
-                out = pipeline(variables, dev_batch)
+            if out is not None:
                 down_fut = down_ex.submit(_download, out, len(masks))
-                gts.append(np.stack(masks))
         if down_fut is not None:
             heatmaps.append(down_fut.result())
 

@@ -69,6 +69,38 @@ def _run_ids(labels: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.cumsum(reset.astype(jnp.int32), axis=axis)
 
 
+def _seg_min_scan_assoc(comp: jnp.ndarray, labels: jnp.ndarray,
+                        axis: int) -> jnp.ndarray:
+    """Segmented min scan via a tuple-carrying ``associative_scan`` with the
+    classic (value, segment-boundary) monoid. No offset arithmetic, so no
+    int32 range bound — the fallback for images too large for the run-offset
+    trick in ``_seg_min_scan`` (~3× more op levels per call, only paid above
+    ~1024²)."""
+    def scan_dir(c, reset):
+        def combine(a, b):
+            av, ar = a
+            bv, br = b
+            return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
+
+        v, _ = jax.lax.associative_scan(combine, (c, reset), axis=axis)
+        return v
+
+    idx = [slice(None)] * labels.ndim
+    prev = jnp.roll(labels, 1, axis=axis)
+    reset = labels != prev
+    idx[axis] = slice(0, 1)
+    fwd = scan_dir(comp, reset.at[tuple(idx)].set(True))
+    # Reverse direction: run STARTS of the flipped array are run ENDS of the
+    # original (label differs from its raster-next element).
+    nxt = jnp.roll(labels, -1, axis=axis)
+    reset_r = labels != nxt
+    idx[axis] = slice(-1, None)
+    reset_r = reset_r.at[tuple(idx)].set(True)
+    bwd = jnp.flip(scan_dir(jnp.flip(comp, axis), jnp.flip(reset_r, axis)),
+                   axis)
+    return jnp.minimum(fwd, bwd)
+
+
 def _seg_min_scan(comp: jnp.ndarray, labels: jnp.ndarray,
                   axis: int, run_ids: jnp.ndarray | None = None) -> jnp.ndarray:
     """Min of ``comp`` over each run of equal ``labels`` along ``axis``.
@@ -82,9 +114,17 @@ def _seg_min_scan(comp: jnp.ndarray, labels: jnp.ndarray,
     ``lax.associative_scan`` with a reset-flag monoid: the tuple scan
     lowered to ~17 levels of multi-op fusions per call and was op-count
     bound (~11 ms/img for the CC pass); native cummin is one fused op.
+
+    The offset ``B·s`` must fit int32: B = H·W and s ≤ runs-per-line ≤ the
+    scan-axis length, so the trick holds through ≥1024² images. Larger
+    shapes route to the tuple-monoid ``associative_scan`` fallback instead
+    of losing the capability (shape-static branch, zero cost at small sizes).
     """
-    B = jnp.int32(comp.size if comp.ndim <= 2 else
-                  comp.shape[-1] * comp.shape[-2])
+    B_int = int(comp.size if comp.ndim <= 2 else
+                comp.shape[-1] * comp.shape[-2])
+    if B_int * (comp.shape[axis] + 1) >= 2**31:
+        return _seg_min_scan_assoc(comp, labels, axis)
+    B = jnp.int32(B_int)
     s = _run_ids(labels, axis) if run_ids is None else run_ids
     off = B * s
     fwd = jax.lax.cummin(comp - off, axis=axis) + off
@@ -97,9 +137,10 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
     components of an (H, W) int label map."""
     H, W = labels.shape
     HW = H * W
-    # Offset-trick overflow bound: |comp ± HW·s| ≤ HW·(max(H, W)+1) must
-    # fit int32 (holds through ≥1024² images).
-    assert HW * (max(H, W) + 1) < 2**31
+    # Pixel indices stay int32 (images beyond ~46k² are out of scope); the
+    # run-offset arithmetic's tighter bound is handled INSIDE _seg_min_scan,
+    # which falls back to the tuple-monoid scan above ~1024².
+    assert HW < 2**31
     idx = jnp.arange(HW, dtype=jnp.int32).reshape(H, W)
     s_cols = _run_ids(labels, 1)
     s_rows = _run_ids(labels, 0)
@@ -143,6 +184,8 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     """
     H, W = labels.shape
     HW = H * W
+    # absorb_pass packs a two-band priority into [0, 2·HW] int32 values.
+    assert HW < 2**30
     min_size = jnp.int32(round(min_size_factor * H * W / n_segments))
     big = jnp.int32(HW)
     idx_flat = jnp.arange(HW, dtype=jnp.int32)
@@ -196,27 +239,31 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
         or C-sized table work on the composed ``cur``/``size`` state.
 
         Small components merge into the component owning their
-        raster-first LARGE ring pixel; a small component with no large
-        contact falls back to its raster-first smaller-id small neighbor
-        (strictly decreasing targets, hence no merge cycles)."""
+        raster-first LARGE ring pixel; a small component with NO large
+        contact anywhere falls back to its raster-first smaller-id small
+        neighbor (strictly decreasing targets, hence no merge cycles).
+        The large-over-fallback priority is COMPONENT-level: fallback
+        candidates are biased by +H·W before the shared segment_min, so any
+        large contact beats every fallback while raster order decides
+        within each class — one packed reduction, no second HW pass."""
         comp_n = _neighbor_shifts(comp, -1)
         small_n = _neighbor_shifts(small, True)
-        best = jnp.full((H, W), big, jnp.int32)
-        best_fb = jnp.full((H, W), big, jnp.int32)
+        none = 2 * big  # sentinel above both priority bands
+        best = jnp.full((H, W), none, jnp.int32)
         for cn, sn, ni in zip(comp_n, small_n, nbr_idx):
             ok = (cn >= 0) & (cn != comp)
-            best = jnp.minimum(best, jnp.where(ok & ~sn, ni, big))
-            best_fb = jnp.minimum(best_fb, jnp.where(ok & sn & (cn < comp),
-                                                     ni, big))
-        best = jnp.where(best < big, best, best_fb)
-        best = jnp.where(small, best, big)
+            cand = jnp.where(ok & ~sn, ni,
+                             jnp.where(ok & sn & (cn < comp), ni + big, none))
+            best = jnp.minimum(best, cand)
+        best = jnp.where(small, best, none)
 
         flat = comp.ravel()
         target_pix = jax.ops.segment_min(best.ravel(), flat, num_segments=C)
         # id -> absorbing id (ring-pixel owner's component), else identity.
-        # flat[target_pix] is a C-sized gather from the pixel map.
-        safe_pix = jnp.minimum(target_pix, big - 1)
-        absorb = jnp.where(target_pix < big, flat[safe_pix], ident)
+        # flat[ring] is a C-sized gather from the pixel map.
+        ring = jnp.where(target_pix < big, target_pix, target_pix - big)
+        safe_pix = jnp.clip(ring, 0, big - 1)
+        absorb = jnp.where(target_pix < none, flat[safe_pix], ident)
         # Resolve merge CHAINS to their final root before applying (C-sized
         # pointer jumping): simultaneous A→B, B→C must send A to C, not
         # leave a disconnected label "B" holding only A's pixels. Each

@@ -36,7 +36,13 @@ def region_adjacency(segments: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     # 16×352², same result).
     a_all = jnp.concatenate([a.reshape(-1) for a, _ in pairs])
     b_all = jnp.concatenate([b.reshape(-1) for _, b in pairs])
-    flat = jnp.zeros((K * K,), dtype=jnp.bool_).at[a_all * K + b_all].set(True)
+    # Labels ≥ K (possible when a caller skips the connectivity relabel's
+    # max_labels clamp) must DROP, matching the old 2-D ``.at[a, b]`` form —
+    # pair-encoded, an out-of-range label would otherwise alias into a wrong
+    # row (e.g. label 6 at K=4 lands in adj[1, 2]). Route them to the
+    # out-of-bounds flat index K·K, which the scatter's drop mode discards.
+    idx = jnp.where((a_all < K) & (b_all < K), a_all * K + b_all, K * K)
+    flat = jnp.zeros((K * K,), dtype=jnp.bool_).at[idx].set(True)
     adj = flat.reshape(K, K)
     # One transpose-OR instead of a second scatter pass over the reversed
     # pairs (the K×K OR is negligible).

@@ -74,6 +74,8 @@ class MicroBatcher:
         self._worker.start()
 
     def submit(self, image_u8: np.ndarray) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
         self._queue.put((image_u8, fut, time.perf_counter()))
         return fut
@@ -82,6 +84,16 @@ class MicroBatcher:
         self._stop.set()
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=5.0)
+        # Fail anything still queued (submitted in the shutdown race or
+        # stuck behind the sentinel) — otherwise the callers' futures never
+        # resolve and handler threads hang for the full result timeout.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("MicroBatcher closed"))
 
     # -- worker ----------------------------------------------------------
     def _drain_batch(self):
@@ -182,7 +194,11 @@ class InferenceService:
         self.batcher.submit(dummy).result(timeout=600)
 
     def predict_bytes(self, body: bytes, include_heatmap: bool = False) -> Dict:
-        image = self.decode(body)
+        return self.predict_image(self.decode(body),
+                                  include_heatmap=include_heatmap)
+
+    def predict_image(self, image: np.ndarray,
+                      include_heatmap: bool = False) -> Dict:
         t0 = time.perf_counter()
         out = self.batcher.submit(image).result(timeout=120)
         # response schema follows the reference prediction dict
@@ -258,10 +274,15 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
             q = parse_qs(parsed.query)
             include_heatmap = q.get("heatmap", ["0"])[0] in ("1", "true")
             try:
-                resp = service.predict_bytes(body,
-                                             include_heatmap=include_heatmap)
-            except Exception as exc:  # decode or inference failure
-                self._send(400, {"error": str(exc)})
+                image = service.decode(body)
+            except Exception as exc:  # client's fault: undecodable payload
+                self._send(400, {"error": f"bad image: {exc}"})
+                return
+            try:
+                resp = service.predict_image(
+                    image, include_heatmap=include_heatmap)
+            except Exception as exc:  # server/device fault: retryable 5xx
+                self._send(500, {"error": str(exc)})
                 return
             self._send(200, resp)
 

@@ -87,6 +87,34 @@ def test_microbatcher_propagates_failures():
         b.close()
 
 
+def test_microbatcher_close_fails_pending_and_rejects_submit():
+    """close() must resolve (with an error) any future still in the queue —
+    not strand its caller until the result timeout — and later submits must
+    raise instead of enqueueing into a dead worker."""
+    release = threading.Event()
+    entered = threading.Event()
+
+    def slow(images):
+        entered.set()
+        release.wait(timeout=10)
+        return {"score": np.zeros((images.shape[0], 1), np.float32)}
+
+    b = MicroBatcher(slow, batch_size=1, max_wait_ms=1.0)
+    first = b.submit(np.zeros((S, S, 3), np.uint8))
+    entered.wait(timeout=10)          # worker is busy inside predict_fn
+    stranded = b.submit(np.zeros((S, S, 3), np.uint8))  # sits in the queue
+    closer = threading.Thread(target=b.close)
+    closer.start()
+    release.set()                     # let the in-flight batch finish
+    closer.join(timeout=10)
+    assert not closer.is_alive()
+    assert first.result(timeout=10)["score"].shape == (1,)
+    with pytest.raises(RuntimeError, match="closed"):
+        stranded.result(timeout=10)   # resolved by close(), not stranded
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.zeros((S, S, 3), np.uint8))
+
+
 @pytest.fixture()
 def http_service():
     seen = []
@@ -147,6 +175,31 @@ def test_http_predict_health_stats(http_service):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(url + "/nope", timeout=10)
     assert exc_info.value.code == 404
+
+
+def test_http_inference_failure_is_500_not_400():
+    """Device/server faults during inference must surface as retryable 5xx;
+    only an undecodable payload is the client's 400."""
+    def boom(images):
+        raise RuntimeError("device exploded")
+
+    service = InferenceService(StubPredictor([]), batch_size=1,
+                               max_wait_ms=1.0)
+    service.batcher.predict_fn = boom
+    server = make_server(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        req = urllib.request.Request(url + "/predict", data=_png_bytes(100),
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=15)
+        assert exc_info.value.code == 500
+        assert "device exploded" in json.loads(exc_info.value.read())["error"]
+    finally:
+        server.shutdown()
+        service.close()
 
 
 def test_http_concurrent_requests_share_batches(http_service):

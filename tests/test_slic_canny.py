@@ -252,6 +252,40 @@ def test_seg_min_scan_matches_naive_run_min():
         np.testing.assert_array_equal(got, naive(comp, labels, axis))
 
 
+def test_seg_min_scan_assoc_fallback_matches():
+    """The tuple-monoid associative_scan fallback (used above ~1024², where
+    the run-offset trick would overflow int32) must be bit-identical to the
+    run-offset path on the same inputs."""
+    from camouflage_multimodal_tpu.ops.connectivity import (
+        _seg_min_scan,
+        _seg_min_scan_assoc,
+    )
+
+    rng = np.random.default_rng(1)
+    labels = jnp.asarray(rng.integers(0, 5, size=(19, 31)).astype(np.int32))
+    comp = jnp.asarray(rng.integers(0, 19 * 31, size=(19, 31)).astype(np.int32))
+    for axis in (0, 1):
+        fast = np.asarray(_seg_min_scan(comp, labels, axis=axis))
+        slow = np.asarray(_seg_min_scan_assoc(comp, labels, axis=axis))
+        np.testing.assert_array_equal(fast, slow)
+
+
+def test_region_adjacency_drops_out_of_range_labels():
+    """Labels ≥ K must DROP from the adjacency (matching the old 2-D scatter
+    form), not alias into a wrong row through the pair-encoded flat index."""
+    from camouflage_multimodal_tpu.ops.rag import region_adjacency
+
+    seg = np.zeros((6, 6), np.int32)
+    seg[:, 3:] = 6  # out-of-range label adjacent to label 0
+    seg[4:, :3] = 1
+    adj = np.asarray(region_adjacency(jnp.asarray(seg), num_segments=4))
+    assert adj[0, 1] and adj[1, 0]          # real transition kept
+    assert not adj.diagonal().any()
+    # label 6 at K=4 would flat-encode into row 1 (0*4+6=6 → adj[1, 2])
+    assert not adj[1, 2] and not adj[2, 1]
+    assert adj.sum() == 2                   # nothing else appeared
+
+
 def test_slic_ragged_band_shapes():
     """The blocksum center update folds clamped trailing row/col bands into
     the last seed cell; exercise shapes where H, W are NOT multiples of the
