@@ -24,6 +24,8 @@ from camouflage_multimodal_tpu.ops.graph import (
     normalize_adjacency,
 )
 
+from jithelp import japply, jcall, jinit
+
 
 # ---------------------------------------------------------------------------
 # GCN vs PyG math
@@ -50,8 +52,9 @@ def test_gcn_matches_pyg_math(rng):
 
     ref = _np_gcn(x, adj, W, b)
     mask = jnp.ones((K,), bool)
-    adj_norm = normalize_adjacency(jnp.asarray(adj), mask)
-    got = np.asarray(gcn_layer(jnp.asarray(x), adj_norm, jnp.asarray(W), jnp.asarray(b)))
+    got = np.asarray(jcall(
+        lambda x_, a_, m_, W_, b_: gcn_layer(x_, normalize_adjacency(a_, m_), W_, b_),
+        jnp.asarray(x), jnp.asarray(adj), mask, jnp.asarray(W), jnp.asarray(b)))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
@@ -86,10 +89,9 @@ def test_gat_matches_pyg_math(rng):
     b = rng.random(C).astype(np.float32)
 
     ref = _np_gat(x, adj, W, a_src, a_dst, b)
-    got = np.asarray(
-        gat_layer(jnp.asarray(x), jnp.asarray(adj), jnp.ones((K,), bool),
-                  jnp.asarray(W), jnp.asarray(a_src), jnp.asarray(a_dst), jnp.asarray(b))
-    )
+    got = np.asarray(jcall(
+        gat_layer, jnp.asarray(x), jnp.asarray(adj), jnp.ones((K,), bool),
+        jnp.asarray(W), jnp.asarray(a_src), jnp.asarray(a_dst), jnp.asarray(b)))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
@@ -103,26 +105,28 @@ def test_gcn_gat_padding_invariance(rng):
     W = rng.random((Cin, 4)).astype(np.float32)
     b = np.zeros(4, np.float32)
 
+    gcn_norm = lambda x_, a_, m_, W_, b_: gcn_layer(  # noqa: E731
+        x_, normalize_adjacency(a_, m_), W_, b_)
     m_small = jnp.ones((K,), bool)
-    out_small = gcn_layer(jnp.asarray(x), normalize_adjacency(jnp.asarray(adj), m_small),
-                          jnp.asarray(W), jnp.asarray(b))
+    out_small = jcall(gcn_norm, jnp.asarray(x), jnp.asarray(adj), m_small,
+                      jnp.asarray(W), jnp.asarray(b))
 
     xp = np.zeros((Kpad, Cin), np.float32)
     xp[:K] = x
     adjp = np.zeros((Kpad, Kpad), np.float32)
     adjp[:K, :K] = adj
     m_pad = jnp.asarray(np.arange(Kpad) < K)
-    out_pad = gcn_layer(jnp.asarray(xp), normalize_adjacency(jnp.asarray(adjp), m_pad),
-                        jnp.asarray(W), jnp.asarray(b))
+    out_pad = jcall(gcn_norm, jnp.asarray(xp), jnp.asarray(adjp), m_pad,
+                    jnp.asarray(W), jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(out_pad)[:K], np.asarray(out_small), rtol=1e-5, atol=1e-6)
 
     Wg = rng.random((Cin, 2, 4)).astype(np.float32) - 0.5
     asrc = rng.random((2, 4)).astype(np.float32) - 0.5
     adst = rng.random((2, 4)).astype(np.float32) - 0.5
-    g_small = gat_layer(jnp.asarray(x), jnp.asarray(adj > 0), m_small,
-                        jnp.asarray(Wg), jnp.asarray(asrc), jnp.asarray(adst))
-    g_pad = gat_layer(jnp.asarray(xp), jnp.asarray(adjp > 0), m_pad,
-                      jnp.asarray(Wg), jnp.asarray(asrc), jnp.asarray(adst))
+    g_small = jcall(gat_layer, jnp.asarray(x), jnp.asarray(adj > 0), m_small,
+                    jnp.asarray(Wg), jnp.asarray(asrc), jnp.asarray(adst))
+    g_pad = jcall(gat_layer, jnp.asarray(xp), jnp.asarray(adjp > 0), m_pad,
+                  jnp.asarray(Wg), jnp.asarray(asrc), jnp.asarray(adst))
     np.testing.assert_allclose(np.asarray(g_pad)[:K], np.asarray(g_small), rtol=1e-4, atol=1e-5)
 
 
@@ -147,8 +151,9 @@ def test_masked_batchnorm_matches_torch(rng):
                    "bias": jnp.asarray(tbn.bias.detach().numpy())},
         "batch_stats": {"mean": jnp.zeros(C), "var": jnp.ones(C)},
     }
-    got_train, updates = bn.apply(params, jnp.asarray(x), jnp.ones((N,), bool),
-                                  False, mutable=["batch_stats"])
+    got_train, updates = jcall(
+        lambda v, x_, m_: bn.apply(v, x_, m_, False, mutable=["batch_stats"]),
+        params, jnp.asarray(x), jnp.ones((N,), bool))
     np.testing.assert_allclose(np.asarray(got_train), ref_train, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(updates["batch_stats"]["mean"]),
                                tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
@@ -158,7 +163,8 @@ def test_masked_batchnorm_matches_torch(rng):
     tbn.eval()
     ref_eval = tbn(torch.tensor(x)).detach().numpy()
     params["batch_stats"] = updates["batch_stats"]
-    got_eval = bn.apply(params, jnp.asarray(x), jnp.ones((N,), bool), True)
+    got_eval = jcall(lambda v, x_, m_: bn.apply(v, x_, m_, True),
+                     params, jnp.asarray(x), jnp.ones((N,), bool))
     np.testing.assert_allclose(np.asarray(got_eval), ref_eval, rtol=1e-4, atol=1e-5)
 
 
@@ -171,10 +177,10 @@ def test_masked_batchnorm_ignores_padding(rng):
         "params": {"scale": jnp.ones(C), "bias": jnp.zeros(C)},
         "batch_stats": {"mean": jnp.zeros(C), "var": jnp.ones(C)},
     }
-    full, _ = bn.apply(params, jnp.asarray(x[:N]), jnp.ones((N,), bool), False,
-                       mutable=["batch_stats"])
-    padded, _ = bn.apply(params, jnp.asarray(x), jnp.asarray(mask), False,
-                         mutable=["batch_stats"])
+    bn_train = lambda v, x_, m_: bn.apply(v, x_, m_, False,  # noqa: E731
+                                          mutable=["batch_stats"])
+    full, _ = jcall(bn_train, params, jnp.asarray(x[:N]), jnp.ones((N,), bool))
+    padded, _ = jcall(bn_train, params, jnp.asarray(x), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(padded)[:N], np.asarray(full), rtol=1e-5, atol=1e-6)
     assert np.all(np.asarray(padded)[N:] == 0)
 
@@ -203,8 +209,8 @@ def test_multihead_attention_matches_torch(rng):
         "wo": jnp.asarray(tmha.out_proj.weight.detach().numpy().T),
         "bo": jnp.asarray(tmha.out_proj.bias.detach().numpy()),
     }
-    out, w = multihead_attention(params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(k),
-                                 num_heads=H)
+    out, w = jcall(lambda p, q_, k_: multihead_attention(p, q_, k_, k_, num_heads=H),
+                   params, jnp.asarray(q), jnp.asarray(k))
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=1e-4, atol=1e-5)
 
@@ -231,8 +237,9 @@ def test_multihead_attention_key_padding_matches_torch(rng):
         "wo": jnp.asarray(tmha.out_proj.weight.detach().numpy().T),
         "bo": jnp.asarray(tmha.out_proj.bias.detach().numpy()),
     }
-    out, w = multihead_attention(params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(k),
-                                 num_heads=H, key_mask=jnp.asarray(valid))
+    out, w = jcall(lambda p, q_, k_, m_: multihead_attention(
+        p, q_, k_, k_, num_heads=H, key_mask=m_),
+        params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(valid))
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=1e-4, atol=1e-5)
 
@@ -260,8 +267,8 @@ def test_region_graph_gnn_shapes_and_masking(rng):
     B, K = 2, 24
     x, adj, w, mask = _random_graph_batch(rng, B, K, 15, [20, 15])
     model = RegionGraphGNN()
-    variables = model.init(jax.random.PRNGKey(0), x, adj, w, mask)
-    out = model.apply(variables, x, adj, w, mask)
+    variables = jinit(model, jax.random.PRNGKey(0), x, adj, w, mask)
+    out = japply(model, variables, x, adj, w, mask)
     assert out["mask_logits"].shape == (B, K, 2)
     assert out["instance_logits"].shape == (B, K, 2)
     assert out["edge_logits"].shape == (B, K, 1)
@@ -277,8 +284,8 @@ def test_kg_gnn_shapes(rng):
     B, N = 3, 16
     x, adj, _, mask = _random_graph_batch(rng, B, N, 32, [10, 12, 8])
     model = KnowledgeGraphGNN()
-    variables = model.init(jax.random.PRNGKey(0), x, adj, mask)
-    out = model.apply(variables, x, adj, mask)
+    variables = jinit(model, jax.random.PRNGKey(0), x, adj, mask)
+    out = japply(model, variables, x, adj, mask)
     assert out["score"].shape == (B, 1)
     assert out["embedding"].shape == (B, 128)
 
@@ -289,8 +296,8 @@ def test_fusion_model_shapes_and_attention(rng):
     rg = jnp.asarray(rng.standard_normal((B, Nrg, 128)).astype(np.float32))
     kg = jnp.asarray(rng.standard_normal((B, Nkg, 128)).astype(np.float32))
     model = MultimodalCamouflageDetector()
-    variables = model.init(jax.random.PRNGKey(0), rg, kg)
-    out = model.apply(variables, rg, kg, return_attention=True)
+    variables = jinit(model, jax.random.PRNGKey(0), rg, kg)
+    out = japply(model, variables, rg, kg, return_attention=True)
     assert out["mask_logits"].shape == (B, 2)
     assert out["instance_logits"].shape == (B, 2)
     assert out["edge_logits"].shape == (B, 1)
@@ -307,12 +314,13 @@ def test_fusion_model_padding_invariance(rng):
     rg = rng.standard_normal((B, Nrg, 128)).astype(np.float32)
     kg = rng.standard_normal((B, Nkg, 128)).astype(np.float32)
     model = MultimodalCamouflageDetector()
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(rg), jnp.asarray(kg))
-    out_small = model.apply(variables, jnp.asarray(rg), jnp.asarray(kg))
+    variables = jinit(model, jax.random.PRNGKey(0), jnp.asarray(rg), jnp.asarray(kg))
+    out_small = japply(model, variables, jnp.asarray(rg), jnp.asarray(kg))
 
     rg_pad = np.concatenate([rg, np.zeros((B, pad, 128), np.float32)], axis=1)
     rg_mask = jnp.asarray(np.arange(Nrg + pad)[None] < Nrg)
-    out_pad = model.apply(variables, jnp.asarray(rg_pad), jnp.asarray(kg), rg_mask=rg_mask)
+    out_pad = jcall(lambda v, r_, k_, m_: model.apply(v, r_, k_, rg_mask=m_),
+                    variables, jnp.asarray(rg_pad), jnp.asarray(kg), rg_mask)
     for k in ("mask_logits", "instance_logits", "edge_logits", "score"):
         np.testing.assert_allclose(np.asarray(out_pad[k]), np.asarray(out_small[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
@@ -322,6 +330,6 @@ def test_late_fusion_variant(rng):
     rg = jnp.asarray(rng.standard_normal((2, 10, 128)).astype(np.float32))
     kg = jnp.asarray(rng.standard_normal((2, 1, 128)).astype(np.float32))
     model = MultimodalCamouflageDetector(fusion_type="late")
-    variables = model.init(jax.random.PRNGKey(0), rg, kg)
-    out = model.apply(variables, rg, kg)
+    variables = jinit(model, jax.random.PRNGKey(0), rg, kg)
+    out = japply(model, variables, rg, kg)
     assert out["mask_logits"].shape == (2, 2)

@@ -18,10 +18,15 @@ def test_pallas_attention_matches_jnp(rng, nq, nk):
     mask = jnp.asarray(np.arange(nk)[None, :] < np.array([[nk - 3], [nk]]))
     params = init_mha_params(jax.random.PRNGKey(0), E)
 
-    ref_out, ref_p = multihead_attention(params, q, k, k, H, key_mask=mask)
+    # jit everything: eager op-by-op dispatch pays ~35 ms tunnel RTT per op
+    ref_out, ref_p = jax.jit(
+        lambda p, q_, k_, m: multihead_attention(p, q_, k_, k_, H, key_mask=m)
+    )(params, q, k, mask)
     interpret = jax.default_backend() != "tpu"
-    got_out, got_p = pallas_multihead_attention(params, q, k, k, H,
-                                                key_mask=mask, interpret=interpret)
+    got_out, got_p = jax.jit(
+        lambda p, q_, k_, m: pallas_multihead_attention(
+            p, q_, k_, k_, H, key_mask=m, interpret=interpret)
+    )(params, q, k, mask)
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
@@ -40,9 +45,11 @@ def test_fusion_model_pallas_flag_matches(rng):
     kg = jnp.asarray(rng.standard_normal((B, Nkg, 128)).astype(np.float32))
     ref_model = MultimodalCamouflageDetector()
     pal_model = MultimodalCamouflageDetector(use_pallas=True)
-    variables = ref_model.init(jax.random.PRNGKey(0), rg, kg)
-    ref = ref_model.apply(variables, rg, kg, return_attention=True)
-    got = pal_model.apply(variables, rg, kg, return_attention=True)
+    variables = jax.jit(ref_model.init)(jax.random.PRNGKey(0), rg, kg)
+    ref = jax.jit(lambda v, a, b: ref_model.apply(v, a, b,
+                                                  return_attention=True))(variables, rg, kg)
+    got = jax.jit(lambda v, a, b: pal_model.apply(v, a, b,
+                                                  return_attention=True))(variables, rg, kg)
     for k_ in ("mask_logits", "instance_logits", "edge_logits", "score"):
         np.testing.assert_allclose(np.asarray(got[k_]), np.asarray(ref[k_]),
                                    rtol=1e-4, atol=1e-4, err_msg=k_)
@@ -86,8 +93,8 @@ def test_pallas_attention_grads_match_jnp(rng):
         out, probs = multihead_attention(p, q_, k_, k_, H, key_mask=mask)
         return jnp.sum(out ** 2) + jnp.sum(probs * probs)
 
-    gp, gq, gk = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, q, k)
-    rp, rq, rk = jax.grad(loss_jnp, argnums=(0, 1, 2))(params, q, k)
+    gp, gq, gk = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(params, q, k)
+    rp, rq, rk = jax.jit(jax.grad(loss_jnp, argnums=(0, 1, 2)))(params, q, k)
     for got, ref in ((gq, rq), (gk, rk)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
@@ -105,7 +112,7 @@ def test_fusion_trains_through_pallas_when_dropout_zero(rng):
                                          dropout=0.0, use_pallas=True)
     rgb = jnp.asarray(rng.standard_normal((2, 16, 128)).astype(np.float32))
     kgb = jnp.asarray(rng.standard_normal((2, 4, 128)).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), rgb, kgb)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), rgb, kgb)
     y = jnp.asarray([0, 1])
 
     def loss_fn(p):
@@ -114,11 +121,12 @@ def test_fusion_trains_through_pallas_when_dropout_zero(rng):
         logp = jax.nn.log_softmax(out["mask_logits"])
         return -jnp.mean(logp[jnp.arange(2), y])
 
-    l0, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    loss_jit = jax.jit(loss_fn)
+    l0, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
     assert np.isfinite(float(l0))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
-    stepped = jax.tree_util.tree_map(lambda p, g: p - 0.05 * g,
-                                     variables["params"], grads)
-    l1 = loss_fn(stepped)
+    stepped = jax.jit(lambda ps, gs: jax.tree_util.tree_map(
+        lambda p, g: p - 0.05 * g, ps, gs))(variables["params"], grads)
+    l1 = loss_jit(stepped)
     assert float(l1) < float(l0)

@@ -9,6 +9,7 @@ plus cross-checks against cv2 where the algorithms overlap.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from camouflage_multimodal_tpu.ops.canny import canny
@@ -191,8 +192,9 @@ def test_paint_segments_verbatim_mapping():
 
     seg = jnp.asarray(np.array([[0, 0, 1], [2, 2, 1], [2, 2, 1]], np.int32))[None]
     vals = jnp.asarray(np.array([[0.1, 0.5, 0.9, 0.0]], np.float32))
-    corrected = np.asarray(paint_segments(vals, seg)[0])
-    verbatim = np.asarray(paint_segments(vals, seg, mapping="verbatim")[0])
+    corrected = np.asarray(jax.jit(paint_segments)(vals, seg)[0])
+    verbatim = np.asarray(jax.jit(
+        lambda v, s: paint_segments(v, s, mapping="verbatim"))(vals, seg)[0])
     np.testing.assert_allclose(corrected[0, 0], 0.1)
     np.testing.assert_allclose(verbatim[0, 0], 0.5)   # region 0 shows region 1
     np.testing.assert_allclose(verbatim[0, 2], 0.9)   # region 1 shows region 2
@@ -247,8 +249,9 @@ def test_seg_min_scan_matches_naive_run_min():
         return out
 
     for axis in (0, 1):
-        got = np.asarray(_seg_min_scan(jnp.asarray(comp), jnp.asarray(labels),
-                                       axis=axis))
+        got = np.asarray(jax.jit(
+            lambda c, l, a=axis: _seg_min_scan(c, l, axis=a))(
+                jnp.asarray(comp), jnp.asarray(labels)))
         np.testing.assert_array_equal(got, naive(comp, labels, axis))
 
 
@@ -265,8 +268,10 @@ def test_seg_min_scan_assoc_fallback_matches():
     labels = jnp.asarray(rng.integers(0, 5, size=(19, 31)).astype(np.int32))
     comp = jnp.asarray(rng.integers(0, 19 * 31, size=(19, 31)).astype(np.int32))
     for axis in (0, 1):
-        fast = np.asarray(_seg_min_scan(comp, labels, axis=axis))
-        slow = np.asarray(_seg_min_scan_assoc(comp, labels, axis=axis))
+        fast = np.asarray(jax.jit(
+            lambda c, l, a=axis: _seg_min_scan(c, l, axis=a))(comp, labels))
+        slow = np.asarray(jax.jit(
+            lambda c, l, a=axis: _seg_min_scan_assoc(c, l, axis=a))(comp, labels))
         np.testing.assert_array_equal(fast, slow)
 
 

@@ -29,6 +29,8 @@ from camouflage_multimodal_tpu.core.torch_compat import (  # noqa: E402
     load_torch_checkpoint,
 )
 
+from jithelp import japply, jcall  # noqa: E402
+
 TOL = dict(rtol=2e-4, atol=2e-5)
 
 
@@ -65,9 +67,9 @@ def test_rg_state_dict_round_trip(rng):
 
     variables = jax.tree_util.tree_map(jnp.asarray, import_rg_state_dict(ref.state_dict()))
     model = RegionGraphGNN()
-    out = model.apply(variables, jnp.asarray(x)[None],
-                      jnp.asarray(adj > 0)[None], jnp.asarray(adj)[None],
-                      jnp.ones((1, K), bool))
+    out = japply(model, variables, jnp.asarray(x)[None],
+                 jnp.asarray(adj > 0)[None], jnp.asarray(adj)[None],
+                 jnp.ones((1, K), bool))
 
     np.testing.assert_allclose(np.asarray(out["mask_logits"][0]), t_mask.numpy(), **TOL)
     np.testing.assert_allclose(np.asarray(out["instance_logits"][0]), t_inst.numpy(), **TOL)
@@ -92,9 +94,9 @@ def test_rg_checkpoint_file_round_trip(rng, tmp_path):
     x, adj = _random_dense_graph(rng, K, 15)
     with torch.no_grad():
         t_mask, _, _ = ref(torch.tensor(x), torch.tensor(adj > 0).float(), torch.tensor(adj))
-    out = RegionGraphGNN().apply(variables, jnp.asarray(x)[None],
-                                 jnp.asarray(adj > 0)[None], jnp.asarray(adj)[None],
-                                 jnp.ones((1, K), bool))
+    out = japply(RegionGraphGNN(), variables, jnp.asarray(x)[None],
+                 jnp.asarray(adj > 0)[None], jnp.asarray(adj)[None],
+                 jnp.ones((1, K), bool))
     np.testing.assert_allclose(np.asarray(out["mask_logits"][0]), t_mask.numpy(), **TOL)
 
 
@@ -122,8 +124,8 @@ def test_kg_state_dict_round_trip(rng, tmp_path):
     variables, meta = load_torch_checkpoint(path)
     assert meta["kind"] == "knowledge_graph" and meta["embedding_dim"] == 128
 
-    out = KnowledgeGraphGNN().apply(variables, jnp.asarray(x)[None],
-                                    jnp.asarray(adj > 0)[None], jnp.ones((1, K), bool))
+    out = japply(KnowledgeGraphGNN(), variables, jnp.asarray(x)[None],
+                 jnp.asarray(adj > 0)[None], jnp.ones((1, K), bool))
     np.testing.assert_allclose(np.asarray(out["score"]), t_score.numpy(), **TOL)
     np.testing.assert_allclose(np.asarray(out["embedding"]), t_emb.numpy(), **TOL)
     # sanity: direct state_dict import matches the file path
@@ -166,8 +168,8 @@ def test_fusion_checkpoint_round_trip_reference_module(rng, tmp_path, generation
             torch.tensor(rg), torch.tensor(kg), return_attention=True)
 
     model = build_multimodal_model(config)
-    out = model.apply(variables, jnp.asarray(rg), jnp.asarray(kg),
-                      return_attention=True)
+    out = japply(model, variables, jnp.asarray(rg), jnp.asarray(kg),
+                 return_attention=True)
     np.testing.assert_allclose(np.asarray(out["mask_logits"]), t_mask.numpy(), **TOL)
     np.testing.assert_allclose(np.asarray(out["instance_logits"]), t_inst.numpy(), **TOL)
     np.testing.assert_allclose(np.asarray(out["edge_logits"]), t_edge.numpy(), **TOL)
@@ -191,7 +193,8 @@ def test_fusion_late_variant_round_trip(rng):
     kg = rng.standard_normal((3, 13, 128)).astype(np.float32)
     with torch.no_grad():
         t_out = ref(torch.tensor(rg), torch.tensor(kg))
-    out = build_multimodal_model(config).apply(variables, jnp.asarray(rg), jnp.asarray(kg))
+    out = japply(build_multimodal_model(config), variables,
+                 jnp.asarray(rg), jnp.asarray(kg))
     np.testing.assert_allclose(np.asarray(out["mask_logits"]), t_out[0].numpy(), **TOL)
     np.testing.assert_allclose(np.asarray(out["score"]), t_out[3].numpy(), **TOL)
 
