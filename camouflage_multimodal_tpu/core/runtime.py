@@ -30,8 +30,12 @@ def enable_persistent_compile_cache(path: str | None = None) -> str:
             or _DEFAULT_CACHE_DIR)
     if jax.config.jax_compilation_cache_dir != path:
         jax.config.update("jax_compilation_cache_dir", path)
-    # Skip only trivial compiles (default 1.0 s keeps out tiny utility jits
-    # but caching those is nearly free; 0.5 s is a good middle ground).
+    # Persist EVERY compile: on this tunneled backend even a bare eager op
+    # (jit_multiply, jit_dot_general, …) costs ~0.35 s of server-side
+    # compile per process, and a typical entry point touches dozens of
+    # distinct eager ops — under the stock 1.0 s (or 0.5 s) threshold none
+    # of them are written, so every fresh process pays them all again
+    # (~15-30 s of invisible warmup). The entries are tiny; cache them all.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", float(
-        os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")))
+        os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")))
     return path

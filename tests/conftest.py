@@ -18,7 +18,7 @@ import os
 # config knob below is the one that works; the env vars are kept for any
 # subprocesses running a stock JAX.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 if os.environ.get("FORCE_CPU_TESTS") == "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
