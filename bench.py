@@ -172,6 +172,7 @@ def main():
     # of batch i+1 against compute of batch i, so the e2e rate tracks
     # max(decode, transfer, compute) instead of decode+transfer.
     e2e_imgs_per_sec = None
+    e2e_median_imgs_per_sec = None
     e2e_draft_imgs_per_sec = None
     paths = _image_paths(4 * BATCH)
     if paths:
@@ -223,8 +224,13 @@ def main():
         # independent fully-barriered measurement, so taking the best of
         # E2E_PASSES passes estimates the no-stall capability without
         # weakening any barrier.
+        # Report the across-pass MEDIAN alongside the best (VERDICT r3
+        # item 9): best-of estimates no-stall capability, the median shows
+        # what a typical pass actually delivers through the tunnel.
         passes = int(os.environ.get("BENCH_E2E_PASSES", 4))
-        e2e_imgs_per_sec = max(run_e2e(draft=False) for _ in range(passes))
+        e2e_all = sorted(run_e2e(draft=False) for _ in range(passes))
+        e2e_imgs_per_sec = e2e_all[-1]
+        e2e_median_imgs_per_sec = float(np.median(e2e_all))
         e2e_draft_imgs_per_sec = max(run_e2e(draft=True)
                                      for _ in range(passes))
 
@@ -244,6 +250,10 @@ def main():
         "batch": BATCH,
         "backend": jax.default_backend(),
     }
+    if e2e_median_imgs_per_sec is not None:
+        result["e2e_median_imgs_per_sec"] = round(e2e_median_imgs_per_sec, 3)
+        result["e2e_median_vs_baseline"] = round(
+            e2e_median_imgs_per_sec / baseline_imgs_per_sec, 2)
     if e2e_draft_imgs_per_sec is not None:
         result["draft_decode_imgs_per_sec"] = round(e2e_draft_imgs_per_sec, 3)
         result["draft_decode_vs_baseline"] = round(

@@ -165,12 +165,12 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n_segments", "min_size_factor",
                                              "max_labels", "return_count",
-                                             "run_compress"))
+                                             "return_rounds"))
 def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
                                min_size_factor: float = 0.5,
                                max_labels: int | None = None,
                                return_count: bool = False,
-                               run_compress: bool | None = None):
+                               return_rounds: bool = False):
     """skimage-contract connectivity pass; returns 0-based sequential
     raster-ordered component labels.
 
@@ -184,23 +184,16 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     that worst case. ``return_count=True`` additionally returns the
     pre-clamp survivor count so callers can detect/report overflow.
 
-    ``run_compress`` (static) reduces every component *statistic* (sizes,
-    absorb targets) over the table of row-runs of equal labels instead of
-    over pixels: irregular-op cost on this TPU scales with scattered/
-    gathered ELEMENTS (~8 ns each), and real SLIC maps have ~10× fewer
-    row-runs than pixels, so three of the five HW-sized irregular ops
-    collapse to one HW-sized compaction scatter plus R-sized table work.
-    Identical output by construction (a run is constant in ``comp0``, so
-    run-min/run-length reductions compose exactly to the per-pixel ones);
-    ``None`` auto-enables when the run-offset scan bound fits int32.
+    ``return_rounds=True`` additionally returns the number of absorb rounds
+    the merge fixpoint ran (telemetry; the round-3 ``run_compress``
+    regression corrupted the size table and spun this loop toward
+    ``_MAX_MERGE_ROUNDS`` — real SLIC maps converge in 1–3 rounds, and
+    ``tests/test_connectivity_gate.py`` pins that as a regression gate).
     """
     H, W = labels.shape
     HW = H * W
     # absorb_pass packs a two-band priority into [0, 2·HW] int32 values.
     assert HW < 2**30
-    if run_compress is None:
-        # The run-min reduction's offset trick needs (2·HW+1)·(W+1) < 2³¹.
-        run_compress = (2 * HW + 1) * (W + 1) < 2**31
     min_size = jnp.int32(round(min_size_factor * H * W / n_segments))
     big = jnp.int32(HW)
     idx_flat = jnp.arange(HW, dtype=jnp.int32)
@@ -224,40 +217,6 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     # HW-sized sort (the sort cost ~2 ms/img; the cumsum is a vector scan).
     is_root = flatroot == idx_flat
     ranks = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank AT each root pixel
-    # Row-run compaction: a row-run of equal ``labels`` is constant in
-    # ``comp0`` (components refine labels), so every component statistic is
-    # a reduction over the R-sized run table instead of HW pixels. Cost on
-    # this TPU is per scattered/gathered ELEMENT, so the table shrinks the
-    # two size segment_sums and the absorb segment_min from HW to R
-    # elements each; the ONE compaction scatter below plus the packed
-    # prologue gather and the final relabel gather are the only remaining
-    # HW-element irregular ops. The bucket R (static, HW/8 ≈ 2× the worst
-    # measured run count on real COD10K SLIC maps at 352²) clamps overflow
-    # runs into the last slot — pathological fragment blow-ups degrade
-    # that slot's statistics, never the partition's validity.
-    if run_compress:
-        R = min(max(HW // 8, 2 * W), HW)
-        is_start = jnp.concatenate(
-            [jnp.ones((H, 1), bool), labels[:, 1:] != labels[:, :-1]],
-            axis=1).ravel()
-        run_rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-        slot = jnp.where(is_start, jnp.minimum(run_rank, R - 1), R)
-        run_start = jnp.full((R,), big, jnp.int32).at[slot].set(
-            idx_flat, mode="drop")              # the ONE compaction scatter
-        run_valid = run_start < big
-        safe_start = jnp.minimum(run_start, big - 1)
-        # Slots fill a raster-ascending prefix, so each run's length is the
-        # next slot's start minus its own (invalid suffix holds ``big``:
-        # the last run closes against it and invalid slots get length 0).
-        run_len = jnp.where(
-            run_valid,
-            jnp.concatenate([run_start[1:], jnp.full((1,), big, jnp.int32)])
-            - run_start, 0)
-        run_root = flatroot[safe_start]         # R-gather
-        row_runs = _run_ids(labels, 1)          # for in-run min scans
-    else:
-        run_valid = safe_start = run_len = run_root = row_runs = None
-
     # Component sizes keyed by the RAW root (counts land at root pixel
     # positions) — computable before any compaction, so compact id AND
     # smallness reach the pixels in ONE packed gather below. Irregular
@@ -265,12 +224,8 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     # call at 352² regardless of the table size, so the prologue is
     # budgeted in "number of irregular ops": one segment_sum + one gather
     # (the earlier form paid rank-gather + size-scatter + smallness-gather).
-    if run_compress:
-        size_t = jax.ops.segment_sum(
-            run_len, jnp.where(run_valid, run_root, big), num_segments=HW)
-    else:
-        size_t = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flatroot,
-                                     num_segments=HW)
+    size_t = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flatroot,
+                                 num_segments=HW)
     small_t = (size_t > 0) & (size_t < min_size)
     # Clamp defends the static bound in pathological fragment blow-ups
     # (merges any overflow fragments into the last id).
@@ -278,15 +233,8 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     g0 = packed_t[flatroot]                     # the ONE prologue HW gather
     flat0 = g0 & (_SMALL_BIT - 1)               # compact ids in [0, C)
     small0 = (g0 >= _SMALL_BIT).reshape(H, W)
-    if run_compress:
-        # flat0 is constant per run; its run value rebuilt from the rank
-        # table with the same C-1 clamp as ``packed_t``.
-        run_flat0 = jnp.where(run_valid,
-                              jnp.minimum(ranks[run_root], C - 1), C)
-        size0 = jax.ops.segment_sum(run_len, run_flat0, num_segments=C)
-    else:
-        size0 = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat0,
-                                    num_segments=C)
+    size0 = jax.ops.segment_sum(jnp.ones((HW,), jnp.int32), flat0,
+                                num_segments=C)
 
     ident = jnp.arange(C, dtype=jnp.int32)
     nbr_idx = _neighbor_shifts(idx_flat.reshape(H, W), big)
@@ -318,23 +266,7 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
         best = jnp.where(small, best, none)
 
         flat = comp.ravel()
-        if run_compress:
-            # Reduce best-of-run first with a REGULAR reverse cummin (the
-            # run-offset trick, B > max(best) = 2·HW; later runs in a row
-            # carry bigger offsets so the reverse scan never crosses a run
-            # start), then segment_min over R run minima instead of HW
-            # pixels. ``comp`` is constant per label run in every round
-            # (merging only coarsens run-constant maps), so the composed
-            # reduction equals the per-pixel segment_min exactly.
-            b_off = jnp.int32(2 * HW + 1) * row_runs
-            best_run = jax.lax.cummin(best + b_off, axis=1,
-                                      reverse=True) - b_off
-            best_r = best_run.ravel()[safe_start]
-            key_r = jnp.where(run_valid, flat[safe_start], C)
-            target_pix = jax.ops.segment_min(best_r, key_r, num_segments=C)
-        else:
-            target_pix = jax.ops.segment_min(best.ravel(), flat,
-                                             num_segments=C)
+        target_pix = jax.ops.segment_min(best.ravel(), flat, num_segments=C)
         # id -> absorbing id (ring-pixel owner's component), else identity.
         # flat[ring] is a C-sized gather from the pixel map.
         ring = jnp.where(target_pix < big, target_pix, target_pix - big)
@@ -384,7 +316,7 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
         return jnp.any((size > 0) & (size < min_size)) & (
             rounds < _MAX_MERGE_ROUNDS)
 
-    cur, size, _ = jax.lax.while_loop(
+    cur, size, rounds = jax.lax.while_loop(
         merge_cond, merge_round, (cur, size, jnp.int32(1)))
 
     # Sequential relabel of survivors by raster order of their first pixel.
@@ -400,6 +332,11 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
         # the last in-bucket label instead of escaping the caller's bucket.
         rank = jnp.minimum(rank, max_labels - 1)
     out = rank[cur][flat0].reshape(H, W)
+    extras = []
     if return_count:
-        return out, jnp.sum(live)
+        extras.append(jnp.sum(live))
+    if return_rounds:
+        extras.append(rounds)
+    if extras:
+        return (out, *extras)
     return out
