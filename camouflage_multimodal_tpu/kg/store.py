@@ -192,21 +192,44 @@ class CamouflageKnowledgeStore:
     # ------------------------------------------------------------------
 
     def save(self, path: str) -> None:
+        """Durable versioned JSON (VERDICT r3 item 8: no pickle — the file
+        carries no Python module paths, so refactors can't orphan it).
+        Tuple env keys are encoded as lists; everything else is already
+        JSON-native (str/list/None record fields)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump({
-                "organisms": self.organisms,
-                "environments": self.environments,
-                "assessments": self.assessments,
-                "similarities": self.similarities,
-                "observations": self.observations,
-            }, f)
+        doc = {
+            "format": "cmtpu-kg-store-v1",
+            "organisms": self.organisms,
+            "environments": [[list(k), v]
+                             for k, v in self.environments.items()],
+            "assessments": self.assessments,
+            "similarities": self.similarities,
+            "observations": self.observations,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "CamouflageKnowledgeStore":
         store = cls()
         with open(path, "rb") as f:
-            state = pickle.load(f)
+            magic = f.read(1)
+        if magic == b"{":
+            with open(path) as f:
+                state = json.load(f)
+            if state.get("format") != "cmtpu-kg-store-v1":
+                raise ValueError(f"unknown KG store format in {path}")
+            state["environments"] = {tuple(k): v
+                                     for k, v in state["environments"]}
+            for table in ("assessments", "observations"):
+                for rec in state[table].values():
+                    if isinstance(rec.get("env_key"), list):
+                        rec["env_key"] = tuple(rec["env_key"])
+        else:  # legacy pre-r4 pickle artifact
+            with open(path, "rb") as f:
+                state = pickle.load(f)
         store.organisms = state["organisms"]
         store.environments = state["environments"]
         store.assessments = state["assessments"]

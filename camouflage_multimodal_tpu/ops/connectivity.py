@@ -165,12 +165,16 @@ def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n_segments", "min_size_factor",
                                              "max_labels", "return_count",
-                                             "return_rounds"))
+                                             "return_rounds",
+                                             "return_raw_count",
+                                             "max_components"))
 def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
                                min_size_factor: float = 0.5,
                                max_labels: int | None = None,
                                return_count: bool = False,
-                               return_rounds: bool = False):
+                               return_rounds: bool = False,
+                               return_raw_count: bool = False,
+                               max_components: int | None = None):
     """skimage-contract connectivity pass; returns 0-based sequential
     raster-ordered component labels.
 
@@ -189,6 +193,23 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     regression corrupted the size table and spun this loop toward
     ``_MAX_MERGE_ROUNDS`` — real SLIC maps converge in 1–3 rounds, and
     ``tests/test_connectivity_gate.py`` pins that as a regression gate).
+
+    **Static component bucket** (``max_components``, default
+    ``16·n_segments``): raw 4-connected components are ranked into a
+    C-sized compact table. Worst-case argument: there is NO a-priori bound
+    on raw fragment count (a 2-color checkerboard has H·W components), so
+    a static bucket MUST carry an overflow policy rather than a
+    "measured-typical" size (the round-3 lesson). Policy here: raster-LATE
+    overflow fragments clamp into compact id C−1 (one deterministic
+    over-merge at the tail, never table corruption — the clamp keeps every
+    ``.at[]`` index in range), ``return_raw_count=True`` returns the
+    pre-clamp root count so callers can DETECT the clamp engaging
+    (raw_count > max_components ⇒ overflowed), and ``max_components`` lets
+    them re-run with a bigger bucket. Empirical margin at the production
+    point (n_segments=500 ⇒ C=8,000): the most fragment-heavy COD10K raw
+    map measured (Octopus-446 @256²) has 1,278 raw components — 6.3×
+    headroom, pinned with the checkerboard overflow semantics in
+    ``tests/test_connectivity_gate.py``.
     """
     H, W = labels.shape
     HW = H * W
@@ -208,7 +229,7 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
     # equals ascending root order, so ranks ARE the sequential relabel —
     # and compact-id order IS raster order of first pixels, which the
     # final relabel exploits (plain cumsum, no sort).
-    C = min(16 * n_segments, HW)  # generous static bound on component count
+    C = min(16 * n_segments if max_components is None else max_components, HW)
     assert C < (1 << 24)
     _SMALL_BIT = jnp.int32(1 << 24)
     flatroot = comp0.ravel()
@@ -337,6 +358,10 @@ def enforce_label_connectivity(labels: jnp.ndarray, n_segments: int,
         extras.append(jnp.sum(live))
     if return_rounds:
         extras.append(rounds)
+    if return_raw_count:
+        # Pre-clamp raw component count: > max_components (C) means the
+        # static bucket overflowed and the raster tail was clamp-merged.
+        extras.append(jnp.sum(is_root))
     if extras:
         return (out, *extras)
     return out

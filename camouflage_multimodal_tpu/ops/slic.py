@@ -68,16 +68,43 @@ def grid_shape(n_segments: int, height: int, width: int) -> Tuple[int, int]:
     return gh, gw
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_segments", "compactness", "sigma", "num_iters",
-                     "convert_lab", "backend", "enforce_connectivity",
-                     "max_labels"),
-)
+def _raise_on_window_drift(ratio, radius) -> None:
+    """Host-side loud failure for ``slic(..., debug_window_check=True)``."""
+    worst = float(np.max(np.asarray(ratio)))
+    if worst >= 1.0:
+        n = 2 * int(radius) + 1
+        raise RuntimeError(
+            f"SLIC center drift {worst:.2f}x the safe window bound: the "
+            f"{n}x{n} candidate window no longer provably covers the all-K "
+            "sweep — rerun with a larger window_radius or backend='pallas' "
+            "(both exact at any drift) or inspect the input.")
+
+
+def window_drift_bound(step: int, radius: int = 2) -> int:
+    """Max per-axis center drift from its seed under which the
+    (2·radius+1)² candidate window provably covers every center a pixel's
+    ±step search box can reach (so the windowed assign EQUALS the all-K
+    sweep).
+
+    Derivation (radius r): center k with seed ``seed_y = step//2 + k_i·step``
+    drifted by ``d`` claims pixels ``py ∈ [floor(cy)−step, floor(cy)+step]``;
+    the window covers it iff ``py//step ∈ [k_i−r, k_i+r]`` (edge clamping
+    only widens the window). The binding direction is downward:
+    ``floor(cy)−step ≥ (k_i−r)·step ⟸ d ≥ −((r−1)·step + step//2 − 1)``; the
+    upward allowance is larger (``r·step − step//2``). Hence the symmetric
+    safe bound ``(r−1)·step + step//2 − 1`` (≈1.5·step at the default r=2;
+    ≈2.5·step at r=3 — 1.4× the worst drift EVER measured on COD10K,
+    1.78·step, see tests/test_slic_window.py).
+    """
+    return (radius - 1) * step + step // 2 - 1
+
+
 def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
          sigma: float = 1.0, num_iters: int = 10, convert_lab: bool = True,
          backend: str = "xla", enforce_connectivity: bool = True,
-         max_labels: int | None = None) -> jnp.ndarray:
+         max_labels: int | None = None, return_drift: bool = False,
+         debug_window_check: bool = False,
+         window_radius: int = 2) -> jnp.ndarray:
     """Segment an (H, W, 3) float RGB image in [0,1].
 
     Returns an (H, W) int32 label map: sequential raster-ordered component
@@ -87,7 +114,68 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
     ``backend="pallas"`` runs the assignment step through the MXU distance
     kernel (ops/pallas_slic.py) against ALL K centers with the same box
     mask — exact by construction, no candidate-window approximation.
+
+    The XLA path's (2·window_radius+1)² candidate window equals the all-K
+    sweep only while every center stays within :func:`window_drift_bound`
+    of its seed (advisor r2 #3). That assumption is CHECKED, not assumed:
+    ``return_drift=True`` additionally returns the max drift ratio
+    (``max_k |c_k − seed_k|_∞ / bound`` over all iterations; < 1 ⇒ the
+    windowed result provably equals the all-K sweep), and
+    ``debug_window_check=True`` raises host-side (``jax.debug.callback``)
+    the moment any center exceeds the bound.
+
+    Measured reality (352²+256², n_segments=500, real COD10K — pinned in
+    ``tests/test_slic_window.py``): the default 5×5 window's bound is
+    EXCEEDED on ~10% of images (worst ratio 1.19 ≈ 1.78·step drift), but
+    the consequence is 21–46 of 65,536 pixels (≤0.07%) differing from the
+    exact all-K sweep and post-connectivity node counts within ±1 — below
+    the float32-vs-float64 tie noise of the skimage comparison itself.
+    ``window_radius=3`` (7×7, bound 2.5·step = 1.4× the worst drift ever
+    observed) makes the sweep provably exact on all measured data for
+    +1.4 ms/img raw at 352² (3.4 → 4.8 ms/img, batch 16 on the live TPU);
+    ``backend="pallas"`` is exact at ANY drift but 8× slower (27.2 ms/img
+    raw, its per-iteration segment_sum update pays the ~2 ms scatter floor
+    ×9). The production default stays 5×5: exactness
+    is monitored (this telemetry), bounded (the tests), and the composed
+    fidelity gate at the benchmark shapes is the contract that matters.
+    Runtime note: this PJRT runtime (axon) does NOT support host callbacks,
+    so the loud check is dispatched host-side here when called eagerly
+    (the debug usage) and only falls back to ``jax.debug.callback`` when
+    traced inside an outer jit/vmap (works on CPU; raises UNIMPLEMENTED on
+    the tunneled TPU — still loud, never silent).
     """
+    if (debug_window_check and backend != "pallas"
+            and not isinstance(image, jax.core.Tracer)):
+        labels, maxd = _slic_impl(
+            image, n_segments=n_segments, compactness=compactness,
+            sigma=sigma, num_iters=num_iters, convert_lab=convert_lab,
+            backend=backend, enforce_connectivity=enforce_connectivity,
+            max_labels=max_labels, return_drift=True,
+            debug_window_check=False, window_radius=window_radius)
+        _raise_on_window_drift(jax.device_get(maxd), window_radius)
+        return (labels, maxd) if return_drift else labels
+    return _slic_impl(
+        image, n_segments=n_segments, compactness=compactness, sigma=sigma,
+        num_iters=num_iters, convert_lab=convert_lab, backend=backend,
+        enforce_connectivity=enforce_connectivity, max_labels=max_labels,
+        return_drift=return_drift, debug_window_check=debug_window_check,
+        window_radius=window_radius)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_segments", "compactness", "sigma", "num_iters",
+                     "convert_lab", "backend", "enforce_connectivity",
+                     "max_labels", "return_drift", "debug_window_check",
+                     "window_radius"),
+)
+def _slic_impl(image: jnp.ndarray, n_segments: int = 500,
+               compactness: float = 10.0, sigma: float = 1.0,
+               num_iters: int = 10, convert_lab: bool = True,
+               backend: str = "xla", enforce_connectivity: bool = True,
+               max_labels: int | None = None, return_drift: bool = False,
+               debug_window_check: bool = False,
+               window_radius: int = 2) -> jnp.ndarray:
     H, W, _ = image.shape
     step = slic_step(n_segments, H, W)
     sy = np.arange(step // 2, H, step)
@@ -185,14 +273,20 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
 
         # Static per-block candidate tables, ascending (dy, dx) order =
         # ascending cluster id (skimage's first-wins tie-breaking).
-        offsets = [(dy, dx) for dy in (-2, -1, 0, 1, 2)
-                   for dx in (-2, -1, 0, 1, 2)]
+        rad = int(window_radius)
+        if rad < 2:
+            raise ValueError("window_radius must be >= 2 (the one-hot "
+                             "update's own-window membership proof needs "
+                             "the pixel's seed cell plus one ring)")
+        span = range(-rad, rad + 1)
+        offsets = [(dy, dx) for dy in span for dx in span]
+        NW = len(offsets)                               # (2·rad+1)²
         ci = np.minimum(np.arange(nbh), gh - 1)
         cj = np.minimum(np.arange(nbw), gw - 1)
         dys = np.array([o[0] for o in offsets])
         dxs = np.array([o[1] for o in offsets])
-        iy = ci[:, None] + dys[None, :]                 # (nbh, 25)
-        jx = cj[:, None] + dxs[None, :]                 # (nbw, 25)
+        iy = ci[:, None] + dys[None, :]                 # (nbh, NW)
+        jx = cj[:, None] + dxs[None, :]                 # (nbw, NW)
         in_grid_np = ((iy[:, None, :] >= 0) & (iy[:, None, :] < gh)
                       & (jx[None, :, :] >= 0) & (jx[None, :, :] < gw))
         iyc = np.clip(iy, 0, gh - 1)
@@ -201,11 +295,11 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
         # are masked by in_grid; id −1 never matches a label in the update.
         cand_id = jnp.asarray(
             np.where(in_grid_np, iyc[:, None, :] * gw + jxc[None, :, :],
-                     -1).reshape(NB, 25), jnp.int32)
+                     -1).reshape(NB, NW), jnp.int32)
         gpad_idx = jnp.asarray(
-            ((iyc + 2)[:, None, :] * (gw + 4)
-             + (jxc + 2)[None, :, :]).reshape(NB, 25), jnp.int32)
-        in_grid = jnp.asarray(in_grid_np.reshape(NB, 25))
+            ((iyc + rad)[:, None, :] * (gw + 2 * rad)
+             + (jxc + rad)[None, :, :]).reshape(NB, NW), jnp.int32)
+        in_grid = jnp.asarray(in_grid_np.reshape(NB, NW))
 
         pix_ch = [pix_b[..., c] for c in range(5)]
         py, px = pix_ch[3], pix_ch[4]                             # (NB, P)
@@ -214,8 +308,8 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
 
         def assign(centers, prev):
             g = centers.reshape(gh, gw, 5)
-            gpad = jnp.pad(g, ((2, 2), (2, 2), (0, 0))).reshape(-1, 5)
-            cc = gpad[gpad_idx]                                  # (NB, 25, 5)
+            gpad = jnp.pad(g, ((rad, rad), (rad, rad), (0, 0))).reshape(-1, 5)
+            cc = gpad[gpad_idx]                                  # (NB, NW, 5)
             cy, cx = cc[..., 3], cc[..., 4]
             dist = ratio * ((py[..., None] - cy[:, None, :]) ** 2
                             + (px[..., None] - cx[:, None, :]) ** 2)
@@ -252,18 +346,18 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
             oh = (labels[..., None] == cand_id[:, None, :]).astype(jnp.float32)
             mom_bo = jnp.einsum("bpo,bpc->boc", oh, pix6_b,
                                 precision=jax.lax.Precision.HIGHEST)
-            mb = mom_bo.reshape(nbh, nbw, 25, 6)
+            mb = mom_bo.reshape(nbh, nbw, NW, 6)
             if nbh > gh:  # clamped trailing bands fold into the last cell row
                 mb = mb.at[gh - 1].add(mb[gh:].sum(0))[:gh]
             if nbw > gw:
                 mb = mb.at[:, gw - 1].add(mb[:, gw:].sum(1))[:, :gw]
             # Offset o = (dy, dx) of block (i, j) feeds center (i+dy, j+dx):
-            # 25 static shifted adds on the tiny (gh, gw, 6) grid.
-            mom = jnp.zeros((gh + 4, gw + 4, 6), jnp.float32)
+            # NW static shifted adds on the tiny (gh, gw, 6) grid.
+            mom = jnp.zeros((gh + 2 * rad, gw + 2 * rad, 6), jnp.float32)
             for o, (dy, dx) in enumerate(offsets):
-                mom = mom.at[2 + dy:2 + dy + gh, 2 + dx:2 + dx + gw].add(
-                    mb[:, :, o])
-            mom = mom[2:2 + gh, 2:2 + gw].reshape(K, 6)
+                mom = mom.at[rad + dy:rad + dy + gh,
+                             rad + dx:rad + dx + gw].add(mb[:, :, o])
+            mom = mom[rad:rad + gh, rad:rad + gw].reshape(K, 6)
             count = mom[:, 5:6]
             new_centers = mom[:, :5] / jnp.maximum(count, 1.0)
             return jnp.where(count > 0, new_centers, centers)
@@ -274,22 +368,39 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
             return (lab.reshape(nbh, nbw, step, step)
                     .transpose(0, 2, 1, 3).reshape(Hp, Wp)[:H, :W])
 
+    # Window-validity telemetry: max L∞ drift of any center from its seed,
+    # over every center state an assign ever sees, as a fraction of the
+    # provable safe bound for THIS window radius. < 1 ⇒ the windowed assign
+    # equals the all-K sweep. K-sized vector work per iteration — noise
+    # next to the assign.
+    seed_pos = centers0[:, 3:5]
+    inv_bound = 1.0 / float(window_drift_bound(step, window_radius))
+
+    def drift_ratio(centers):
+        return jnp.max(jnp.abs(centers[:, 3:5] - seed_pos)) * inv_bound
+
     def body(_, state):
-        labels, centers = state
+        labels, centers, maxd = state
         labels = assign(centers, labels)
         centers = update(labels, centers)
-        return labels, centers
+        return labels, centers, jnp.maximum(maxd, drift_ratio(centers))
 
     # num_iters-1 full (assign, update) rounds + one final assign: the last
     # round's center update feeds nothing (labels are the output). Labels
     # are identical by construction.
     if num_iters > 0:
-        labels, centers = jax.lax.fori_loop(0, num_iters - 1, body,
-                                            (labels0, centers0))
+        labels, centers, maxd = jax.lax.fori_loop(
+            0, num_iters - 1, body, (labels0, centers0, jnp.float32(0.0)))
         labels = assign(centers, labels)
     else:
         labels = labels0
+        maxd = jnp.float32(0.0)
     labels = unblock(labels).astype(jnp.int32)
+
+    if debug_window_check and backend != "pallas":
+        # The Pallas assign sweeps all K centers — exact at any drift, so
+        # the loud check only guards the windowed XLA path.
+        jax.debug.callback(_raise_on_window_drift, maxd, window_radius)
 
     if enforce_connectivity:
         from camouflage_multimodal_tpu.ops.connectivity import (
@@ -297,4 +408,6 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
 
         labels = enforce_label_connectivity(labels, n_segments,
                                             max_labels=max_labels)
+    if return_drift:
+        return labels, maxd
     return labels

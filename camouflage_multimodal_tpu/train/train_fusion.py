@@ -430,7 +430,7 @@ class FusionTrainer:
         val_order = order_of(val_idx)
         start_epoch = 0
         if resume_from:
-            blob = load_resume_checkpoint(resume_from)
+            blob = load_resume_checkpoint(resume_from, state_template=state)
             ts = blob["train_state"]
             state = TrainState(params=ts["params"], batch_stats=ts["batch_stats"],
                                opt_state=ts["opt_state"],

@@ -286,7 +286,7 @@ class RGTrainer:
         best_val = float("inf")
         start_epoch = 0
         if resume_from:
-            blob = load_resume_checkpoint(resume_from)
+            blob = load_resume_checkpoint(resume_from, state_template=state)
             ts = blob["train_state"]
             state = TrainState(params=ts["params"], batch_stats=ts["batch_stats"],
                                opt_state=ts["opt_state"],

@@ -48,6 +48,11 @@ OUT_DIR = "artifacts/fidelity"
 CACHE = os.path.join(OUT_DIR, "graphs")
 
 
+def cache_dir(size: int) -> str:
+    """Per-resolution reference-graph cache (256 keeps the r2 layout)."""
+    return CACHE if size == 256 else f"{CACHE}_{size}"
+
+
 def category_of(base: str) -> str:
     """COD10K environment token (CAM images) or 'NonCAM'."""
     parts = base.split("-")
@@ -97,20 +102,21 @@ def quadruples(n_train: int, n_test: int, split: str = "stratified"):
     return train, test
 
 
-def stage_graphs(samples, n_segments=500):
+def stage_graphs(samples, n_segments=500, size=256):
     from camouflage_multimodal_tpu.data.cod10k import load_image_rgb, load_mask
     from reference_pipeline import build_reference_graph, node_labels_np
 
-    os.makedirs(CACHE, exist_ok=True)
+    cache = cache_dir(size)
+    os.makedirs(cache, exist_ok=True)
     t0 = time.time()
     for i, (base, img_p, mask_p, inst_p, edge_p) in enumerate(samples):
-        out = os.path.join(CACHE, base + ".npz")
+        out = os.path.join(cache, base + ".npz")
         if os.path.exists(out):
             continue
-        img = load_image_rgb(img_p, 256).astype(np.float64)
+        img = load_image_rgb(img_p, size).astype(np.float64)
         g = build_reference_graph(img, n_segments)
-        labels = node_labels_np(g, load_mask(mask_p, 256), load_mask(inst_p, 256),
-                                load_mask(edge_p, 256))
+        labels = node_labels_np(g, load_mask(mask_p, size), load_mask(inst_p, size),
+                                load_mask(edge_p, size))
         np.savez_compressed(
             out, features=g["features"], adjacency=g["adjacency"],
             weights=g["weights"], segments=g["segments"],
@@ -121,8 +127,8 @@ def stage_graphs(samples, n_segments=500):
             print(f"[graphs] {i + 1}/{len(samples)} ({rate:.1f}s/img)", flush=True)
 
 
-def _load_graph(base):
-    z = np.load(os.path.join(CACHE, base + ".npz"))
+def _load_graph(base, size=256):
+    z = np.load(os.path.join(cache_dir(size), base + ".npz"))
     id_map = {int(k): i for i, k in enumerate(z["id_map_keys"])}
     return {k: z[k] for k in z.files if k != "id_map_keys"} | {"id_map": id_map}
 
@@ -193,7 +199,7 @@ def stage_train(train_samples, epochs=30, batch_size=4, lr=1e-3, seed=0):
     torch.save(model.state_dict(), os.path.join(OUT_DIR, "region_graph_model.pth"))
 
 
-def stage_compare(test_samples, n_segments=500):
+def stage_compare(test_samples, n_segments=500, size=256):
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
@@ -209,12 +215,12 @@ def stage_compare(test_samples, n_segments=500):
     tmodel.load_state_dict(torch.load(ckpt, weights_only=True))
     tmodel.eval()
     jmodel, variables = load_rg_model(ckpt)
-    pipe = RegionGraphPipeline(jmodel, n_segments=n_segments, image_size=256)
+    pipe = RegionGraphPipeline(jmodel, n_segments=n_segments, image_size=size)
 
     per_image = []
     batch_imgs, bases = [], []
     for base, img_p, mask_p, *_ in test_samples:
-        batch_imgs.append(load_image_rgb(img_p, 256))
+        batch_imgs.append(load_image_rgb(img_p, size))
         bases.append((base, mask_p))
     B = 10
     jax_heat = {}
@@ -238,7 +244,7 @@ def stage_compare(test_samples, n_segments=500):
 
     agree_v, agree_c, maes, model_agree, qual = [], [], [], [], {"ref": [], "jax": []}
     for base, mask_p in bases:
-        g = _load_graph(base)
+        g = _load_graph(base, size)
         h_ref_v = reference_heatmap(tmodel, g, mapping="verbatim")
         h_ref_c = reference_heatmap(tmodel, g, mapping="corrected")
         h_jax = jax_heat[base]
@@ -267,7 +273,7 @@ def stage_compare(test_samples, n_segments=500):
         j_pred = np.asarray(jg["mask_logits"][mask]).argmax(1)
         model_agree.append(float((t_pred == j_pred).mean()))
 
-        gt = load_mask(mask_p, 256) > 0.5
+        gt = load_mask(mask_p, size) > 0.5
         if gt.sum() > 0:  # NonCAM GT is empty; IoU would be degenerate
             for tag, hm in (("ref", h_ref_c), ("jax", h_jax)):
                 pb = hm > 0.5
@@ -297,6 +303,7 @@ def stage_compare(test_samples, n_segments=500):
     }
     report = {
         "n_test_images": len(bases),
+        "image_size": size,
         "pixel_agreement_vs_reference_verbatim_paintback": float(np.mean(agree_v)),
         "pixel_agreement_vs_reference_corrected_paintback": float(np.mean(agree_c)),
         "heatmap_mae_vs_reference": float(np.mean(maes)),
@@ -324,7 +331,16 @@ def stage_compare(test_samples, n_segments=500):
         ],
         "per_image": per_image,
     }
-    with open("artifacts/fidelity_report.json", "w") as f:
+    out_name = ("artifacts/fidelity_report.json" if size == 256
+                else f"artifacts/fidelity_report_{size}.json")
+    if size != 256:
+        report["notes"].append(
+            "Weights reused from the 256-resolution fidelity training run "
+            "(the gate measures composed-pipeline AGREEMENT between the "
+            "torch reference executor and the JAX pipeline at this "
+            "resolution; both sides share the same weights, so model "
+            "quality at the new resolution cancels out).")
+    with open(out_name, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items() if k != "per_image"}, indent=2))
 
@@ -550,16 +566,21 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--split", default="stratified",
                     choices=["stratified", "sorted"])
+    ap.add_argument("--size", type=int, default=256,
+                    help="image resolution (352/416 = the benchmark shapes; "
+                         "graphs+compare honor it, train always uses the "
+                         "256 cache)")
     args = ap.parse_args()
 
     train_s, test_s = quadruples(args.n_train, args.n_test, args.split)
     print(f"{len(train_s)} train / {len(test_s)} test images")
     if args.stage in ("all", "graphs"):
-        stage_graphs(train_s + test_s)
+        samples = (train_s + test_s) if args.size == 256 else test_s
+        stage_graphs(samples, size=args.size)
     if args.stage in ("all", "train"):
         stage_train(train_s, epochs=args.epochs)
     if args.stage in ("all", "compare"):
-        stage_compare(test_s)
+        stage_compare(test_s, size=args.size)
     if args.stage in ("all", "fusion-train"):
         stage_fusion_train(train_s)
     if args.stage in ("all", "fusion-compare"):

@@ -104,6 +104,68 @@ def test_fragment_heavy_survivor_counts_and_rounds():
 
 
 @needs_data
+def test_fragment_heavy_raw_counts_inside_static_bucket():
+    """The C = 16·n_segments compact-component bucket holds the real
+    fragment tail with wide margin (measured worst: Octopus-446 = 1,278
+    raw components vs C = 8,000). If SLIC dynamics ever push raw counts
+    toward the bucket, this trips BEFORE the clamp starts over-merging."""
+    import jax
+
+    from camouflage_multimodal_tpu.ops.connectivity import (
+        enforce_label_connectivity)
+    from camouflage_multimodal_tpu.ops.slic import slic
+
+    @jax.jit
+    def raw_counts(imgs):
+        def one(im):
+            raw = slic(im.astype("float32") / 255.0, n_segments=500,
+                       enforce_connectivity=False)
+            return enforce_label_connectivity(raw, 500,
+                                              return_raw_count=True)[1]
+
+        return jax.vmap(one)(imgs)
+
+    counts = np.asarray(raw_counts(np.asarray(_load_batch(256))))
+    assert counts.max() < 16 * 500 // 4, counts  # ≥4× headroom demanded
+
+
+def test_component_bucket_overflow_policy():
+    """A 2-color checkerboard has one 4-connected component PER PIXEL —
+    the no-a-priori-bound worst case. The static bucket must (a) report
+    the overflow via return_raw_count, (b) clamp deterministically into
+    the last compact id instead of corrupting tables or spinning the merge
+    fixpoint (the d65a020 failure mode), and (c) still emit a valid
+    sequential partition. max_components lets callers buy the bucket the
+    input actually needs."""
+    import jax
+    import jax.numpy as jnp
+
+    from camouflage_multimodal_tpu.ops.connectivity import (
+        enforce_label_connectivity)
+
+    H = W = 48
+    yy, xx = np.mgrid[:H, :W]
+    checker = jnp.asarray((yy + xx) % 2, jnp.int32)
+
+    out, count, rounds, raw = jax.device_get(enforce_label_connectivity(
+        checker, n_segments=4, return_count=True, return_rounds=True,
+        return_raw_count=True))
+    assert raw == H * W                      # every pixel its own component
+    assert raw > 16 * 4                      # the default bucket overflowed
+    assert rounds <= 16                      # fixpoint still terminates fast
+    # sequential labels, full coverage of [0, count)
+    assert out.min() == 0 and out.max() == count - 1
+    assert len(np.unique(out)) == count
+
+    # buying a big-enough bucket removes the clamp: min_size = 0.5·HW/4
+    # = 288, so everything legitimately merges into ONE component
+    out2, count2 = jax.device_get(enforce_label_connectivity(
+        checker, n_segments=4, max_components=H * W,
+        return_count=True))
+    assert count2 == 1 and out2.max() == 0
+
+
+@needs_data
 def test_slic_connectivity_wallclock_ceiling():
     """Composed SLIC+connectivity per-image wall-clock stays within a
     generous platform-specific ceiling (the regression was >20× over).

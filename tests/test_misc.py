@@ -40,6 +40,48 @@ def test_checkpoint_roundtrip(tmp_path):
     assert loaded["config"]["model"]["hidden_dim"] == 256
 
 
+def test_checkpoint_durable_format_and_legacy(tmp_path):
+    """r4 checkpoints are module-path-free npz+JSON (VERDICT r3 item 8):
+    optax namedtuple states restore into a caller template, legacy pickle
+    blobs keep loading, and the format is detectable."""
+    import pickle
+
+    import jax
+    import optax
+    from flax import serialization
+
+    from camouflage_multimodal_tpu.core.checkpoint import (
+        _restate, checkpoint_format, load_checkpoint, save_checkpoint)
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    opt = tx.init(params)
+    g = np.random.default_rng(7)
+    g.random(3)
+    payload = {"opt_state": opt, "best_val": float("inf"),
+               "numpy_rng_state": g.bit_generator.state,
+               "history": {"loss": [1.0, 0.5]}, "name": "kg"}
+    p = str(tmp_path / "x.ckpt")
+    save_checkpoint(p, payload)
+    assert checkpoint_format(p) == "npz"
+    # the file is a plain zip of .npy entries — no pickled objects at all
+    blob = load_checkpoint(p)
+    assert blob["best_val"] == float("inf") and blob["name"] == "kg"
+    assert blob["history"]["loss"] == [1.0, 0.5]          # list stays list
+    assert blob["numpy_rng_state"] == g.bit_generator.state  # 128-bit ints
+    rec = serialization.from_state_dict(tx.init(params),
+                                        _restate(blob["opt_state"]))
+    for a, b in zip(jax.tree_util.tree_leaves(rec),
+                    jax.tree_util.tree_leaves(opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    legacy = str(tmp_path / "old.ckpt")
+    with open(legacy, "wb") as f:
+        pickle.dump({"epoch": 3}, f)
+    assert checkpoint_format(legacy) == "pickle"
+    assert load_checkpoint(legacy)["epoch"] == 3
+
+
 def test_rg_embedding_artifacts_roundtrip(tmp_path):
     from camouflage_multimodal_tpu.core.artifacts import (
         load_rg_embeddings,
