@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from camouflage_multimodal_tpu.models.fusion import MultimodalCamouflageDetector
 from camouflage_multimodal_tpu.models.region_graph import RegionGraphGNN
 from camouflage_multimodal_tpu.ops.canny import canny
+from camouflage_multimodal_tpu.ops.connectivity import (
+    enforce_label_connectivity_batched)
 from camouflage_multimodal_tpu.ops.image import rgb_to_gray
 from camouflage_multimodal_tpu.ops.rag import rag_edge_weights, region_adjacency
 from camouflage_multimodal_tpu.ops.regions import region_features, region_label_means
@@ -76,19 +78,27 @@ def build_region_graphs(images: jnp.ndarray, n_segments: int = 500,
     if max_nodes is None:
         max_nodes = padded_nodes(n_segments, images.shape[1])
 
-    def one(img):
-        # max_labels=max_nodes: fragment-heavy images can exceed the gh·gw
-        # bucket; the connectivity pass clamps overflow explicitly instead
-        # of letting segment_sum drop those regions silently.
-        seg = slic(img, n_segments=n_segments, num_iters=slic_iters,
-                   max_labels=max_nodes)
+    # SLIC raw assignment per image, then the BATCHED connectivity pass:
+    # the run-structured fast path needs its run-bucket predicate hoisted
+    # outside vmap (a cond under vmap would execute both branches — see
+    # enforce_label_connectivity_batched). max_labels=max_nodes:
+    # fragment-heavy images can exceed the gh·gw bucket; the connectivity
+    # pass clamps overflow explicitly instead of letting segment_sum drop
+    # those regions silently.
+    raw = jax.vmap(lambda img: slic(img, n_segments=n_segments,
+                                    num_iters=slic_iters,
+                                    enforce_connectivity=False))(images)
+    seg = enforce_label_connectivity_batched(raw, n_segments,
+                                             max_labels=max_nodes)
+
+    def one(img, seg):
         edges = canny(rgb_to_gray(img), sigma=2.0)
         reg = region_features(img, seg, edges, max_nodes)
         adj = region_adjacency(seg, max_nodes)
         w = rag_edge_weights(reg["features"], adj)
-        return seg, reg["features"], adj, w, reg["node_mask"]
+        return reg["features"], adj, w, reg["node_mask"]
 
-    seg, feats, adj, w, mask = jax.vmap(one)(images)
+    feats, adj, w, mask = jax.vmap(one)(images, seg)
     return RegionGraphBatch(seg, feats, adj, w, mask)
 
 

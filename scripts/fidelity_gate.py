@@ -144,10 +144,26 @@ def _block_batch(graphs):
     return x, adj, w, y, iy, ey
 
 
-def stage_train(train_samples, epochs=30, batch_size=4, lr=1e-3, seed=0):
+def _rg_ckpt(size: int) -> str:
+    """Per-resolution fidelity weights. The reference model's position/area
+    features are normalized by a HARD-CODED 256 (create_region_graph,
+    region_graph/train.py:156-160 — reproduced at
+    tools/reference_pipeline.py:290-292), so weights trained at 256² are
+    off-distribution at any other size: measured at 352², the net stays
+    CONFIDENT but chaotic (23% node flips between the two executors' graphs
+    whose segment maps agree 94%+, median |Δfeature| 0.004). The gate
+    therefore trains shared weights AT the measured resolution — it measures
+    composed-pipeline agreement, which only isolates pipeline fidelity when
+    the shared model is in-distribution."""
+    return os.path.join(
+        OUT_DIR, "best_model.pth" if size == 256 else f"best_model_{size}.pth")
+
+
+def stage_train(train_samples, epochs=30, batch_size=4, lr=1e-3, seed=0,
+                size=256):
     from reference_impl import RefRegionGraphGNN
 
-    graphs = [_load_graph(b) for b, *_ in train_samples]
+    graphs = [_load_graph(b, size) for b, *_ in train_samples]
     torch.manual_seed(seed)
     rng = np.random.default_rng(seed)
     n_train = int(0.8 * len(graphs))
@@ -195,8 +211,10 @@ def stage_train(train_samples, epochs=30, batch_size=4, lr=1e-3, seed=0):
               f"| val {va_loss:.4f} mask {va_acc:.1f}% ({time.time() - t0:.0f}s)", flush=True)
         if va_loss < best:
             best = va_loss
-            torch.save(model.state_dict(), os.path.join(OUT_DIR, "best_model.pth"))
-    torch.save(model.state_dict(), os.path.join(OUT_DIR, "region_graph_model.pth"))
+            torch.save(model.state_dict(), _rg_ckpt(size))
+    if size == 256:
+        torch.save(model.state_dict(),
+                   os.path.join(OUT_DIR, "region_graph_model.pth"))
 
 
 def stage_compare(test_samples, n_segments=500, size=256):
@@ -210,7 +228,7 @@ def stage_compare(test_samples, n_segments=500, size=256):
     from reference_impl import RefRegionGraphGNN
     from reference_pipeline import reference_heatmap
 
-    ckpt = os.path.join(OUT_DIR, "best_model.pth")
+    ckpt = _rg_ckpt(size)
     tmodel = RefRegionGraphGNN()
     tmodel.load_state_dict(torch.load(ckpt, weights_only=True))
     tmodel.eval()
@@ -575,10 +593,9 @@ def main():
     train_s, test_s = quadruples(args.n_train, args.n_test, args.split)
     print(f"{len(train_s)} train / {len(test_s)} test images")
     if args.stage in ("all", "graphs"):
-        samples = (train_s + test_s) if args.size == 256 else test_s
-        stage_graphs(samples, size=args.size)
+        stage_graphs(train_s + test_s, size=args.size)
     if args.stage in ("all", "train"):
-        stage_train(train_s, epochs=args.epochs)
+        stage_train(train_s, epochs=args.epochs, size=args.size)
     if args.stage in ("all", "compare"):
         stage_compare(test_s, size=args.size)
     if args.stage in ("all", "fusion-train"):
