@@ -16,52 +16,76 @@ import functools
 import jax
 import jax.numpy as jnp
 
+def _forward_neighbor_maps(s: jnp.ndarray):
+    """Four forward-shifted 8-connectivity neighbor maps (→, ↓, ↘, ↙).
+    Border fills duplicate the edge row/column, so every fill is a self
+    pair (stripped by the eye mask) or a pair the plain →/↓ shifts already
+    produce — never a new adjacency. The backward four directions are
+    restored by the caller's final ``adj | adj.T``."""
+    right = jnp.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+    down = jnp.concatenate([s[1:, :], s[-1:, :]], axis=0)
+    dr = jnp.concatenate([right[1:, :], right[-1:, :]], axis=0)
+    left = jnp.concatenate([s[:, :1], s[:, :-1]], axis=1)
+    dl = jnp.concatenate([left[1:, :], left[-1:, :]], axis=0)
+    return right, down, dr, dl
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def region_adjacency(segments: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     """(K, K) bool symmetric adjacency (no self loops) from an (H, W) label
     map using 8-connectivity.
 
-    Formulation: scatter cost on this TPU is dominated by the INDEX count
-    (~8 ns per scattered index, largely independent of the value payload
-    width), so instead of one index per directed neighbor PAIR (4·H·W
-    indices — the previous pair-encoded form measured ~5.6 ms/img at
-    16×352²), every pixel scatters ONE row: a K-lane boolean one-hot of its
-    four forward neighbors (→, ↓, ↘, ↙ — the backward four are restored by
-    the final ``adj | adj.T``), max-combined into the (K, K) table.
-    ``max`` over bool IS logical OR, so duplicate rows combine exactly.
-    H·W indices instead of 4·H·W. The (H·W, K) one-hot operand is built in
-    static pixel chunks to bound materialization (scatter operands cannot
-    fuse into their producer).
+    MXU formulation: ``adj = (Pᵀ @ S) > 0`` where ``P`` is the (HW, K)
+    bf16 one-hot of the label map and ``S`` the sum of the four
+    forward-shifted one-hots (values in [0, 4], exact in bf16; the
+    contraction accumulates in f32, exact below 2²⁴). On this TPU every
+    HW-indexed scatter costs ~8 ns per index regardless of payload (~1 ms
+    per HW at 352²), while the MXU does the equivalent 2·HW·K² ≈ 82 GFLOP
+    contraction in well under a millisecond — the scatter-free rewrite of
+    the previous one-hot ``.at[key].max`` form. Pixels stream through a
+    ``lax.scan`` over row blocks so only ~(2 × block × K) bf16 one-hot
+    rows are ever materialized (vmap-safe: scan stays sequential per
+    image).
 
     Out-of-range labels (callers that skip the connectivity relabel's
     ``max_labels`` clamp) must DROP, matching ``rag_mean_color`` fed an
-    in-range map: a key ≥ K routes to dump row K (sliced off), a neighbor
-    value ≥ K matches no one-hot lane.
+    in-range map: a label ≥ K matches no one-hot lane on either side.
     """
     K = num_segments
     s = segments
-    right = jnp.concatenate([s[:, 1:], s[:, -1:]], axis=1)
-    down = jnp.concatenate([s[1:, :], s[-1:, :]], axis=0)
-    # ↘ = down-of-right; ↙ = down-of-left. Border fills duplicate the edge
-    # row/column, so every fill is a self pair (stripped by the eye mask) or
-    # a pair the plain →/↓ shifts already produce — never a new adjacency.
-    dr = jnp.concatenate([right[1:, :], right[-1:, :]], axis=0)
-    left = jnp.concatenate([s[:, :1], s[:, :-1]], axis=1)
-    dl = jnp.concatenate([left[1:, :], left[-1:, :]], axis=0)
+    H, W = s.shape
+    right, down, dr, dl = _forward_neighbor_maps(s)
 
-    key = jnp.where(s < K, s, K).ravel()
-    nbrs = jnp.stack(
-        [right.ravel(), down.ravel(), dr.ravel(), dl.ravel()], axis=-1)
+    # Row-block size: ~8 MB of bf16 one-hot per operand per step.
+    rows = max(1, (4 << 20) // max(W * K, 1))
+    pad = (-H) % rows
+    if pad:
+        fill = jnp.full((pad, W), jnp.int32(K))  # matches no lane
+        s, right, down, dr, dl = (
+            jnp.concatenate([a, fill.astype(a.dtype)], axis=0)
+            for a in (s, right, down, dr, dl))
+    nb = (H + pad) // rows
+
+    def blocks(a):
+        return a.reshape(nb, rows * W)
+
     iota = jnp.arange(K, dtype=s.dtype)
-    HW = key.shape[0]
-    # ≤ ~20 MB of one-hot rows alive per chunk (per vmapped image).
-    n_chunks = max(1, -(-HW * K // (20 << 20)))
-    chunk = -(-HW // n_chunks)
-    acc = jnp.zeros((K + 1, K), dtype=jnp.bool_)
-    for c in range(0, HW, chunk):
-        onehot = jnp.any(nbrs[c:c + chunk, :, None] == iota, axis=1)
-        acc = acc.at[key[c:c + chunk]].max(onehot)
-    adj = acc[:K]
+
+    def body(acc, inp):
+        s_c, r_c, d_c, dr_c, dl_c = inp
+        P = (s_c[:, None] == iota).astype(jnp.bfloat16)
+        S = ((r_c[:, None] == iota).astype(jnp.bfloat16)
+             + (d_c[:, None] == iota).astype(jnp.bfloat16)
+             + (dr_c[:, None] == iota).astype(jnp.bfloat16)
+             + (dl_c[:, None] == iota).astype(jnp.bfloat16))
+        acc = acc + jnp.einsum("pk,pj->kj", P, S,
+                               preferred_element_type=jnp.float32)
+        return acc, None
+
+    counts, _ = jax.lax.scan(
+        body, jnp.zeros((K, K), jnp.float32),
+        tuple(blocks(a) for a in (s, right, down, dr, dl)))
+    adj = counts > 0
     adj = adj | adj.T
     adj = adj & ~jnp.eye(K, dtype=bool)
     return adj

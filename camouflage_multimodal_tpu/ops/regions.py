@@ -94,6 +94,39 @@ def _distinct_foreign_neighbors(seg: jnp.ndarray, offsets):
     return labs, keep
 
 
+def _segment_sum_matmul(vals: jnp.ndarray, seg: jnp.ndarray, K: int,
+                        block: int | None = None) -> jnp.ndarray:
+    """(N, C) values summed into (K, C) bins as ``Pᵀ @ vals`` on the MXU.
+
+    Drop-in for ``jax.ops.segment_sum`` with out-of-range indices dropped.
+    Products are exact (``precision="highest"``: 1.0 · v reassembles v
+    losslessly from its bf16x6 parts); only the f32 accumulation order
+    differs from the scatter form. Blocked scan keeps ≤ block·K one-hot
+    elements alive; vmap-safe (scan stays sequential per image).
+    """
+    N, C = vals.shape
+    if block is None:
+        block = max(256, (4 << 20) // max(K, 1))
+    pad = (-N) % block
+    if pad:
+        seg = jnp.concatenate([seg, jnp.full((pad,), K, seg.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, C), vals.dtype)])
+    nb = (N + pad) // block
+    iota = jnp.arange(K, dtype=seg.dtype)
+
+    def body(acc, inp):
+        s_c, v_c = inp
+        P = (s_c[:, None] == iota).astype(jnp.float32)
+        return acc + jnp.einsum("pk,pc->kc", P, v_c,
+                                precision="highest",
+                                preferred_element_type=jnp.float32), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((K, C), jnp.float32),
+        (seg.reshape(nb, block), vals.reshape(nb, block, C)))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarray,
                     num_segments: int) -> Dict[str, jnp.ndarray]:
@@ -148,7 +181,16 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
             axis=-1)
         nb_acc = nb_acc + jnp.roll(pay, (dy, dx), axis=(0, 1))
 
-    # Every region statistic in ONE 17-channel segment_sum.
+    # Every region statistic in ONE 17-channel segment reduction — computed
+    # on the MXU as ``Pᵀ @ vals`` (P = the (HW, K) label one-hot) instead of
+    # a segment_sum scatter: HW-indexed scatters cost ~8 ns per index on
+    # this TPU (~1 ms per HW at 352²) while the 2·HW·K·17 ≈ 2.4 GFLOP
+    # contraction is MXU noise. ``precision="highest"`` keeps products
+    # EXACT (each is 1.0 · v — the bf16x6 decomposition reassembles v
+    # losslessly); accumulation is f32 either way, only the reduction order
+    # differs from segment_sum (within the golden tests' 2e-4 rtol).
+    # Pixels stream through a scan over row blocks so only ~(block × K)
+    # bf16 one-hot rows are alive at once.
     vals = jnp.concatenate(
         [
             img_flat,                     # 0:3   sum rgb
@@ -163,7 +205,7 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
         ],
         axis=-1,
     )
-    m = jax.ops.segment_sum(vals, seg_flat, num_segments=K)
+    m = _segment_sum_matmul(vals, seg_flat, K)
     count = m[:, 11]
     node_mask = count > 0
     safe = jnp.maximum(count, 1.0)[:, None]

@@ -59,7 +59,7 @@ def main():
     from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
     from camouflage_multimodal_tpu.ops.canny import canny
     from camouflage_multimodal_tpu.ops.connectivity import (
-        enforce_label_connectivity)
+        enforce_label_connectivity, enforce_label_connectivity_batched)
     from camouflage_multimodal_tpu.ops.image import rgb_to_gray
     from camouflage_multimodal_tpu.ops.rag import (rag_edge_weights,
                                                    region_adjacency)
@@ -98,9 +98,20 @@ def main():
                            ragw_f(feats, adj), jnp.ones((B, K), bool))
     gnn_f = jax.jit(lambda v, f, a, w, m: model.apply(v, f, a, w, m))
 
+    conn_runs = jax.jit(lambda lab: enforce_label_connectivity_batched(
+        lab, N, max_labels=K))
+
+    # Dispatch floor: a trivial jitted program timed the same way — every
+    # isolated stage number below includes roughly this much tunnel/dispatch
+    # overhead (CLAUDE.md RTT trap); subtract it mentally when comparing
+    # stages, or trust the fused pipeline number from bench.py.
+    floor_f = jax.jit(lambda x: x + 1.0)
+    floor_ms = timed(floor_f, (jnp.zeros((), jnp.float32),), args.iters) * 1000.0 / B
+
     stages = {
         "slic_iterations": (slic_raw, (imgs,)),
         "connectivity": (conn, (labels_raw,)),
+        "connectivity_runs": (conn_runs, (labels_raw,)),
         "canny": (edges_f, (g,)),
         "segment_features": (feats_f, (imgs, labels, edges)),
         "adjacency": (adj_f, (labels,)),
@@ -113,7 +124,10 @@ def main():
         ms = timed(fn, a, args.iters) * 1000.0 / B
         out[name] = round(ms, 2)
         print(f"{name:20s} {ms:7.2f} ms/img", flush=True)
-    out["_total_ms_per_img"] = round(sum(v for v in out.values()), 2)
+    out["_dispatch_floor_ms_per_img"] = round(floor_ms, 2)
+    out["_total_ms_per_img"] = round(
+        sum(v for k, v in out.items() if not k.startswith("_")
+            and k != "connectivity_runs"), 2)
     out["_config"] = {"image_size": S, "batch": B, "n_segments": N,
                       "backend": jax.devices()[0].platform}
     print(json.dumps(out))
