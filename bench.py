@@ -41,6 +41,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", 30))
 E2E_ITERS = int(os.environ.get("BENCH_E2E_ITERS", 8))
 IMAGE_SIZE = int(os.environ.get("BENCH_IMAGE_SIZE", 352))  # BASELINE configs: 352 (416/256 variants)
 N_SEGMENTS = int(os.environ.get("BENCH_N_SEGMENTS", 500))
+# SLIC candidate-window radius A/B knob (3 = production default, provably
+# exact on all measured COD10K drift; 2 = the 5×5 window, ~1.3 ms/img
+# faster on device but its drift bound is exceeded on ~10% of images).
+WINDOW_RADIUS = int(os.environ.get("BENCH_WINDOW_RADIUS", 3))
 REFERENCE_SECONDS_PER_IMAGE = 2.2161  # reference embedding_summary.json
 
 
@@ -86,7 +90,8 @@ def main():
     fusion_model = MultimodalCamouflageDetector()
     max_nodes = padded_nodes(N_SEGMENTS, IMAGE_SIZE)
     rg_pipe = RegionGraphPipeline(rg_model, n_segments=N_SEGMENTS,
-                                  image_size=IMAGE_SIZE, max_nodes=max_nodes)
+                                  image_size=IMAGE_SIZE, max_nodes=max_nodes,
+                                  window_radius=WINDOW_RADIUS)
     pipe = MultimodalPipeline(rg_pipe, fusion_model)
 
     K = max_nodes

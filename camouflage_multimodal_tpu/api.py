@@ -264,7 +264,9 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
                        threshold: float = 0.5,
                        skip_images: int = 0,
                        files: Optional[List[str]] = None,
-                       data_parallel: Optional[bool] = None) -> Dict[str, float]:
+                       data_parallel: Optional[bool] = None,
+                       image_size: int = 256,
+                       feature_norm: Optional[int] = None) -> Dict[str, float]:
     """Batched RG eval with fully on-device metrics (MAE/IoU/Dice/F1/S/E).
 
     ``skip_images`` drops the first N files of the sorted listing — used to
@@ -292,7 +294,11 @@ def evaluate_directory(checkpoint_path: str, image_dir: str, gt_dir: str,
         from camouflage_multimodal_tpu.parallel.sharding import make_mesh
 
         mesh = make_mesh(model_axis=1)
-    pipeline = RegionGraphPipeline(model, n_segments=n_segments, mesh=mesh)
+    # feature_norm=256 runs the bug-compatible positional normalization for
+    # reference-recipe weights at non-256 sizes (see ops/regions.py).
+    pipeline = RegionGraphPipeline(model, n_segments=n_segments, mesh=mesh,
+                                   image_size=image_size,
+                                   feature_norm=feature_norm)
 
     if files is None:
         files = sorted(f for f in os.listdir(image_dir)

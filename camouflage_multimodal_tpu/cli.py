@@ -289,12 +289,12 @@ def main(argv=None):
 
     p = sub.add_parser("ingest-kg")
     p.add_argument("--annotations", required=True)
-    p.add_argument("--output", default="kg_store.pkl")
+    p.add_argument("--output", default="kg_store.json")
     p.add_argument("--processed-log", default="processed_files.txt")
     p.set_defaults(func=cmd_ingest_kg)
 
     p = sub.add_parser("train-kg")
-    p.add_argument("--store", default="kg_store.pkl")
+    p.add_argument("--store", default="kg_store.json")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--limit", type=int, default=50)
@@ -305,7 +305,7 @@ def main(argv=None):
 
     p = sub.add_parser("extract-kg")
     p.add_argument("--model", default="kg_gnn_model.ckpt")
-    p.add_argument("--store", default="kg_store.pkl")
+    p.add_argument("--store", default="kg_store.json")
     p.add_argument("--output", default="kg_embeddings")
     p.add_argument("--limit", type=int, default=10)
     p.add_argument("--max-nodes", type=int, default=64)

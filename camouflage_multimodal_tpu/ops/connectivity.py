@@ -473,6 +473,17 @@ def enforce_label_connectivity_runs(
         jnp.where(is_root, sstart, HW)].set(rank, mode="drop")
     cid = jnp.where(valid, ptab[jnp.minimum(rcomp, HW - 1)], C)  # invalid → dump
     size0 = jnp.zeros((C + 1,), jnp.int32).at[cid].add(run_len)[:C]
+    # Round-1 smallness must come from RAW per-root sizes, exactly like the
+    # per-pixel path's ``small_t``: when raw components overflow ``C`` the
+    # raster tail clamps into compact id C−1, whose C-binned size aggregates
+    # several components — but the per-pixel path still judges each raw
+    # component's smallness individually in round 1. Keyed by the raw root
+    # pixel (an R-index scatter + gather on an HW table — cost scales with
+    # index count), this keeps the two paths bit-identical in the
+    # C-overflow regime too (advisor r4).
+    size_raw = jnp.zeros((HW,), jnp.int32).at[
+        jnp.where(valid, rcomp, HW)].add(run_len, mode="drop")
+    small_raw_run = valid & (size_raw[jnp.minimum(rcomp, HW - 1)] < min_size)
 
     ident = jnp.arange(C, dtype=jnp.int32)
     nbr_idx = _neighbor_shifts(idx_flat.reshape(H, W), big)
@@ -524,12 +535,12 @@ def enforce_label_connectivity_runs(
         return jnp.where(valid, packed_c[jnp.minimum(cid, C - 1)], 0)
 
     # Round 1 peeled (identical structure to the per-pixel path): cur is
-    # the identity, so the packed run values come straight from cid/size0.
-    small0_c = (size0 > 0) & (size0 < min_size)
+    # the identity, so the packed run values come straight from cid and the
+    # RAW per-root smallness (matches the per-pixel path's small_t even
+    # when raw components overflow C).
     packed0 = jnp.where(
         valid,
-        (jnp.minimum(cid, C - 1) << 1)
-        | small0_c[jnp.minimum(cid, C - 1)].astype(jnp.int32), 0)
+        (jnp.minimum(cid, C - 1) << 1) | small_raw_run.astype(jnp.int32), 0)
     cur, size = absorb_from_tables(packed0, ident, size0)
 
     def merge_round(state):

@@ -127,9 +127,10 @@ def _segment_sum_matmul(vals: jnp.ndarray, seg: jnp.ndarray, K: int,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments",))
+@functools.partial(jax.jit, static_argnames=("num_segments", "norm_size"))
 def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarray,
-                    num_segments: int) -> Dict[str, jnp.ndarray]:
+                    num_segments: int,
+                    norm_size: int | None = None) -> Dict[str, jnp.ndarray]:
     """Compute the 15-dim node features for every segment.
 
     Args:
@@ -138,6 +139,16 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
       segments: (H, W) int32 labels in [0, num_segments).
       edges: (H, W) Canny edge map (bool or float).
       num_segments: static K (padded node bucket).
+      norm_size: positional-feature normalizer. None (default) divides
+        center_x/center_y/region_size by the ACTUAL W/H/(H·W) — the
+        documented Known-delta fix. The reference hard-codes 256
+        (``region_graph/train.py:156-160``: ``/256``, ``/(256*256)`` at any
+        resolution), so pass ``norm_size=256`` for bug-compatible features
+        when measuring composed fidelity against reference-recipe weights
+        at non-256 sizes (at 256 the two are identical). This was the
+        entire 352² composed-fidelity gap: a probe trained on /256
+        features read /352 features as out-of-distribution (VERDICT r4
+        item 1 bisect).
 
     Returns dict with:
       features: (K, 15) float32
@@ -216,9 +227,11 @@ def region_features(image: jnp.ndarray, segments: jnp.ndarray, edges: jnp.ndarra
     mean_gray = m[:, 6:7] / safe
     var_gray = jnp.maximum(m[:, 7:8] / safe - mean_gray**2, 0.0)
     std_gray = jnp.sqrt(var_gray)
-    center_y = (m[:, 8:9] / safe) / H
-    center_x = (m[:, 9:10] / safe) / W
-    region_size = count[:, None] / (H * W)
+    norm_h = norm_size if norm_size is not None else H
+    norm_w = norm_size if norm_size is not None else W
+    center_y = (m[:, 8:9] / safe) / norm_h
+    center_x = (m[:, 9:10] / safe) / norm_w
+    region_size = count[:, None] / (norm_h * norm_w)
     edge_density = m[:, 10:11] / safe
 
     # Boundary contrast: mean color of dilate₂(R) \ R vs mean color of R;

@@ -374,7 +374,11 @@ def _slic_impl(image: jnp.ndarray, n_segments: int = 500,
     # equals the all-K sweep. K-sized vector work per iteration — noise
     # next to the assign.
     seed_pos = centers0[:, 3:5]
-    inv_bound = 1.0 / float(window_drift_bound(step, window_radius))
+    # step == 1 (n_segments ≳ H·W/2.25) makes the provable bound 0 at the
+    # default radius: ANY drift then exceeds it, so report the raw drift
+    # against a floor of 1 px instead of dividing by zero at trace time
+    # (advisor r4) — ratio ≥ 1 still means "window not provably exact".
+    inv_bound = 1.0 / float(max(1, window_drift_bound(step, window_radius)))
 
     def drift_ratio(centers):
         return jnp.max(jnp.abs(centers[:, 3:5] - seed_pos)) * inv_bound

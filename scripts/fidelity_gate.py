@@ -248,7 +248,15 @@ def stage_compare(test_samples, n_segments=500, size=256):
     tmodel.load_state_dict(torch.load(ckpt, weights_only=True))
     tmodel.eval()
     jmodel, variables = load_rg_model(ckpt)
-    pipe = RegionGraphPipeline(jmodel, n_segments=n_segments, image_size=size)
+    # feature_norm=256: the reference hard-codes /256 positional-feature
+    # normalization at ANY resolution (train.py:156-160), so composed
+    # agreement against reference-recipe weights must run the JAX pipeline
+    # in the bug-compatible mode (identical at 256; at 352 the framework's
+    # corrected /H/W normalization fed the shared probe out-of-distribution
+    # features and cost ~16% pixel agreement — the r4 gate failure's root
+    # cause).
+    pipe = RegionGraphPipeline(jmodel, n_segments=n_segments, image_size=size,
+                               feature_norm=256)
 
     per_image = []
     batch_imgs, bases = [], []
@@ -417,6 +425,12 @@ def stage_compare(test_samples, n_segments=500, size=256):
             "other sizes. The gate measures composed-pipeline AGREEMENT "
             "between the torch reference executor and the JAX pipeline; "
             "both sides share the same weights.")
+        report["notes"].append(
+            "JAX pipeline runs with feature_norm=256 (bug-compatible with "
+            "the reference's hard-coded /256 normalizer) so both stacks "
+            "feed the shared weights the same feature distribution; the "
+            "framework's production default normalizes by actual H/W "
+            "(PARITY.md Known deltas).")
     with open(out_name, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items() if k != "per_image"}, indent=2))
@@ -668,10 +682,26 @@ def main():
                     seed=args.seed, pos_weight=args.pos_weight)
     if args.stage in ("all", "compare"):
         stage_compare(test_s, size=args.size)
+    # The fusion stages are a 256-only protocol: they consume the 256 graph
+    # cache, the 256 probe (best_model.pth), and load_mask/load_image at
+    # 256 (the reference's multimodal stack hard-codes 256 end to end —
+    # train_multimodal.py / test_multimodal.py). Running them against a
+    # non-256 --size would silently mix resolutions (advisor r4).
+    if args.stage in ("fusion-train", "fusion-compare") and args.size != 256:
+        ap.error("--stage fusion-* is a 256-only protocol (the reference "
+                 "multimodal stack hard-codes 256); drop --size")
     if args.stage in ("all", "fusion-train"):
-        stage_fusion_train(train_s)
+        if args.size != 256:
+            print("[skip] fusion-train: 256-only protocol, --size "
+                  f"{args.size} requested", flush=True)
+        else:
+            stage_fusion_train(train_s)
     if args.stage in ("all", "fusion-compare"):
-        stage_fusion_compare(test_s)
+        if args.size != 256:
+            print("[skip] fusion-compare: 256-only protocol, --size "
+                  f"{args.size} requested", flush=True)
+        else:
+            stage_fusion_compare(test_s)
 
 
 if __name__ == "__main__":

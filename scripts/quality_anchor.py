@@ -36,7 +36,9 @@ enable_persistent_compile_cache()
 
 from fidelity_gate import OUT_DIR, REF_DATA, quadruples  # noqa: E402
 
-CKPT = "artifacts/quality/rg_jax_anchor.ckpt"
+def _ckpt(size: int) -> str:
+    return ("artifacts/quality/rg_jax_anchor.ckpt" if size == 256
+            else f"artifacts/quality/rg_jax_anchor_{size}.ckpt")
 
 
 def _filtered_dataset(names, image_size=256):
@@ -54,21 +56,28 @@ def _filtered_dataset(names, image_size=256):
     return ds
 
 
-def stage_train(train_names, epochs=30, batch_size=4):
+def stage_train(train_names, epochs=30, batch_size=4, size=256):
     from camouflage_multimodal_tpu.pipeline import padded_nodes
     from camouflage_multimodal_tpu.train.train_rg import RGTrainer
 
-    os.makedirs(os.path.dirname(CKPT), exist_ok=True)
-    ds = _filtered_dataset(train_names)
-    trainer = RGTrainer(n_segments=500, max_nodes=padded_nodes(500, 256))
+    ckpt = _ckpt(size)
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+    ds = _filtered_dataset(train_names, image_size=size)
+    trainer = RGTrainer(n_segments=500, max_nodes=padded_nodes(500, size))
     state, history = trainer.fit(ds, epochs=epochs, batch_size=batch_size,
-                                 checkpoint_path=CKPT)
-    with open("artifacts/quality/rg_jax_anchor_history.json", "w") as f:
+                                 checkpoint_path=ckpt)
+    hist = ("artifacts/quality/rg_jax_anchor_history.json" if size == 256
+            else f"artifacts/quality/rg_jax_anchor_history_{size}.json")
+    with open(hist, "w") as f:
         json.dump(history, f, indent=2)
 
 
-def _eval_split(ckpt, test_names):
-    """Composed-pipeline metrics on exactly the held-out images."""
+def _eval_split(ckpt, test_names, size=256, feature_norm=None):
+    """Composed-pipeline metrics on exactly the held-out images.
+
+    ``feature_norm=256`` for reference-recipe torch weights at non-256
+    sizes (they were trained on /256-normalized positional features —
+    ops/regions.py docstring)."""
     import tempfile
 
     from camouflage_multimodal_tpu.api import evaluate_directory
@@ -81,23 +90,31 @@ def _eval_split(ckpt, test_names):
     for base, img_p, mask_p, *_ in test_names:
         os.symlink(img_p, os.path.join(img_dir, base + ".jpg"))
         os.symlink(mask_p, os.path.join(gt_dir, base + ".png"))
-    return evaluate_directory(ckpt, img_dir, gt_dir, batch_size=10)
+    return evaluate_directory(ckpt, img_dir, gt_dir, batch_size=10,
+                              image_size=size, feature_norm=feature_norm)
 
 
-def stage_eval(test_names):
+def stage_eval(test_names, size=256):
     rows = {}
-    ref_ckpt = os.path.join(OUT_DIR, "best_model.pth")
+    ref_ckpt = os.path.join(
+        OUT_DIR, "best_model.pth" if size == 256 else f"best_model_{size}.pth")
     if os.path.exists(ref_ckpt):
         rows["reference_torch_trained_weights_in_jax_pipeline"] = _eval_split(
-            ref_ckpt, test_names)
-    if os.path.exists(CKPT):
-        rows["jax_trained"] = _eval_split(CKPT, test_names)
-    if os.path.exists("artifacts/fidelity_report.json"):
-        with open("artifacts/fidelity_report.json") as f:
+            ref_ckpt, test_names, size=size,
+            feature_norm=256)  # reference recipe trains on /256 features
+    ckpt = _ckpt(size)
+    if os.path.exists(ckpt):
+        rows["jax_trained"] = _eval_split(ckpt, test_names, size=size)
+    report = ("artifacts/fidelity_report.json" if size == 256
+              else f"artifacts/fidelity_report_{size}.json")
+    if os.path.exists(report):
+        with open(report) as f:
             fr = json.load(f)
-        rows["reference_composed_pipeline_iou"] = fr.get("iou_vs_gt", {}).get("ref")
+        rows["reference_composed_pipeline_iou"] = (
+            fr.get("iou_vs_gt", fr.get("iou_vs_gt_cam_only", {})) or {}).get("ref")
 
     table = {
+        "image_size": size,
         "n_held_out": len(test_names),
         "protocol": "composed image→heatmap pipeline, binarized at 0.5, "
                     "on-device IoU/Dice/F1/MAE/S/E over the 50 fidelity "
@@ -106,7 +123,9 @@ def stage_eval(test_names):
                     "train.py:315-468; jax: RGTrainer same losses/schedule)",
         "rows": rows,
     }
-    with open("artifacts/quality_table.json", "w") as f:
+    out = ("artifacts/quality_table.json" if size == 256
+           else f"artifacts/quality_table_{size}.json")
+    with open(out, "w") as f:
         json.dump(table, f, indent=2)
     print(json.dumps(table, indent=2))
 
@@ -117,13 +136,18 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--n-train", type=int, default=120)
     ap.add_argument("--n-test", type=int, default=50)
+    ap.add_argument("--size", type=int, default=256,
+                    help="image resolution; non-256 rows land in "
+                         "quality_table_<size>.json (VERDICT r4 item 6: "
+                         "separate '352 is harder' from 'the 352 pipeline "
+                         "hurts learning')")
     args = ap.parse_args()
 
     train_s, test_s = quadruples(args.n_train, args.n_test)
     if args.stage in ("all", "train"):
-        stage_train(train_s, epochs=args.epochs)
+        stage_train(train_s, epochs=args.epochs, size=args.size)
     if args.stage in ("all", "eval"):
-        stage_eval(test_s)
+        stage_eval(test_s, size=args.size)
 
 
 if __name__ == "__main__":

@@ -59,25 +59,12 @@ def _load_batch(size):
     return imgs
 
 
-def _batch_fn(n_segments=500):
-    import jax
-    import jax.numpy as jnp
+def _batch_fn(n_segments=500, batch=3):
+    """The SHARED (batch, 256, 256, 3) SLIC+connectivity executable from
+    conftest — one compile for this file AND the crossval pin."""
+    from conftest import slic_count_fn
 
-    from camouflage_multimodal_tpu.ops.connectivity import (
-        enforce_label_connectivity)
-    from camouflage_multimodal_tpu.ops.slic import slic
-
-    @jax.jit
-    def run(imgs):
-        def one(im):
-            raw = slic(im.astype(jnp.float32) / 255.0, n_segments=n_segments,
-                       enforce_connectivity=False)
-            return enforce_label_connectivity(
-                raw, n_segments, return_count=True, return_rounds=True)
-
-        return jax.vmap(one)(imgs)
-
-    return run
+    return slic_count_fn(n_segments=n_segments, batch=batch)
 
 
 @needs_data
@@ -166,6 +153,83 @@ def test_component_bucket_overflow_policy():
 
 
 @needs_data
+def test_runs_path_bit_equality_fragment_heavy():
+    """The run-structured fast path (production route via
+    ``enforce_label_connectivity_batched``) is BIT-identical to the exact
+    per-pixel path on the fragment-heaviest real raw SLIC maps — the
+    direct runs-vs-pixel pin the round-3 ``run_compress`` rewrite lacked
+    (advisor r4 medium)."""
+    import jax
+    import jax.numpy as jnp
+
+    from camouflage_multimodal_tpu.ops.connectivity import (
+        enforce_label_connectivity, enforce_label_connectivity_batched)
+    from camouflage_multimodal_tpu.ops.slic import slic
+
+    @jax.jit
+    def raw_maps(imgs):
+        return jax.vmap(lambda im: slic(
+            im.astype(jnp.float32) / 255.0, n_segments=500,
+            enforce_connectivity=False))(imgs)
+
+    raw = raw_maps(jnp.asarray(_load_batch(256)))
+    pixel = jax.device_get(jax.vmap(
+        lambda x: enforce_label_connectivity(x, 500, max_labels=1000))(raw))
+    batched, fb = jax.device_get(enforce_label_connectivity_batched(
+        raw, 500, max_labels=1000, return_fallback=True))
+    assert not fb  # real maps fit the default HW//4 run bucket
+    np.testing.assert_array_equal(pixel, batched)
+
+
+def test_runs_path_bit_equality_engineered():
+    """Engineered runs-vs-pixel equality cases: the run-bucket boundary
+    (count == R stays on the fast path, count == R+1 falls back — both
+    exact), and the C-overflow regime (raw components > max_components
+    while runs fit the bucket), where round-1 smallness must come from RAW
+    per-root sizes on both paths (advisor r4 low)."""
+    import jax
+    import jax.numpy as jnp
+
+    from camouflage_multimodal_tpu.ops.connectivity import (
+        enforce_label_connectivity, enforce_label_connectivity_batched)
+
+    def both(labels, run_bucket=None, max_components=None, n_segments=4):
+        kw = dict(max_labels=64, max_components=max_components)
+        pixel = jax.device_get(jax.vmap(lambda x: enforce_label_connectivity(
+            x, n_segments, **kw))(labels))
+        batched, fb = jax.device_get(enforce_label_connectivity_batched(
+            labels, n_segments, run_bucket=run_bucket,
+            return_fallback=True, **kw))
+        np.testing.assert_array_equal(pixel, batched)
+        return bool(fb)
+
+    # Exact run count: H=8, W=16, vertical stripe pairs → 8 runs/row = 64.
+    yy, xx = np.mgrid[:8, :16]
+    stripes = jnp.asarray(((xx // 2) % 2), jnp.int32)[None]
+    assert both(stripes, run_bucket=64) is False   # count == R: fast path
+    assert both(stripes, run_bucket=63) is True    # count == R+1: fallback
+    assert both(stripes, run_bucket=8) is True     # deep overflow: fallback
+
+    # C-overflow, runs in-bucket: single-row horizontal stripes → 64 raw
+    # components AND 64 runs on a 64×8 map; max_components=16 < 64 clamps
+    # the raster tail into compact id 15 on BOTH paths, run bucket 128 ≥ 64
+    # keeps the fast path live. Equality here exercises the raw-smallness
+    # round-1 fix.
+    rows = jnp.asarray(np.mgrid[:64, :8][0] % 2, jnp.int32)[None]
+    assert both(rows, run_bucket=128, max_components=16) is False
+
+    # Fragmented map mixing large and sub-min_size components, C overflow:
+    # 32×32 quadrant base with a 1-px checker patch confined to one corner
+    # (42 runs/row max → well inside the bucket; ~70 raw components > C=32).
+    base = (np.mgrid[:32, :32][0] >= 16).astype(np.int32) * 2 \
+        + (np.mgrid[:32, :32][1] >= 16).astype(np.int32)
+    patch = np.indices((8, 8)).sum(0) % 2 + 4
+    base[:8, :8] = patch
+    frag = jnp.asarray(base, jnp.int32)[None]
+    assert both(frag, run_bucket=512, max_components=32) is False
+
+
+@needs_data
 def test_slic_connectivity_wallclock_ceiling():
     """Composed SLIC+connectivity per-image wall-clock stays within a
     generous platform-specific ceiling (the regression was >20× over).
@@ -177,15 +241,15 @@ def test_slic_connectivity_wallclock_ceiling():
     import jax
     import jax.numpy as jnp
 
-    run = _batch_fn()
-    imgs = jnp.asarray(np.repeat(_load_batch(256), 4, axis=0))  # batch 12
+    run = _batch_fn()  # the shared batch-3 executable (no extra compile)
+    imgs = jnp.asarray(_load_batch(256))
     n = imgs.shape[0]
 
     out = run(imgs)  # compile + warm
     np.asarray(out[1])
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         out = run(imgs)
         np.asarray(out[1])  # host pull == real completion barrier
