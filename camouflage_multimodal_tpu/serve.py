@@ -49,18 +49,32 @@ import numpy as np
 
 
 class MicroBatcher:
-    """Coalesce concurrent single-item requests into fixed-size batches.
+    """Coalesce concurrent single-item requests into fixed-shape batches.
 
-    ``predict_fn`` receives a (batch_size, …) uint8 array (short batches are
-    padded by repeating the last item — the program shape never changes, so
-    XLA compiles exactly once) and must return a dict of arrays with a
-    leading batch axis (nested dicts allowed).
+    ``predict_fn`` receives a padded uint8 batch and must return a dict of
+    arrays with a leading batch axis (nested dicts allowed).
+
+    **Bucketed padding** (VERDICT r4 item 7): short groups are padded to
+    the smallest power-of-two bucket that covers them (1, 2, 4, …,
+    batch_size) instead of always to ``batch_size``. Each bucket is its own
+    fixed shape, so XLA compiles ``log2(batch_size)+1`` programs total
+    (``warmup()`` pre-compiles all of them) — still a static-shape design,
+    but a lone request under light load runs the batch-1 program (~3× lower
+    latency at 352²: the batch-8 program costs ~8 images of device time
+    while a single dispatch costs one image + the tunnel RTT). Set
+    ``bucketed=False`` for the old single-program behavior.
     """
 
     def __init__(self, predict_fn: Callable[[np.ndarray], Dict],
-                 batch_size: int = 8, max_wait_ms: float = 5.0) -> None:
+                 batch_size: int = 8, max_wait_ms: float = 5.0,
+                 bucketed: bool = True) -> None:
         self.predict_fn = predict_fn
         self.batch_size = int(batch_size)
+        if bucketed:
+            self.buckets = [b for b in (1 << i for i in range(16))
+                            if b < self.batch_size] + [self.batch_size]
+        else:
+            self.buckets = [self.batch_size]
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
         self._stats_lock = threading.Lock()
@@ -124,8 +138,10 @@ class MicroBatcher:
             futs = [it[1] for it in items]
             t_submit = [it[2] for it in items]
             n = len(imgs)
-            # pad with the last image: fixed program shape, one compile
-            while len(imgs) < self.batch_size:
+            # pad with the last image to the smallest covering bucket:
+            # a handful of fixed program shapes, each compiled once
+            bucket = next(b for b in self.buckets if b >= n)
+            while len(imgs) < bucket:
                 imgs.append(imgs[-1])
             try:
                 out = self.predict_fn(np.stack(imgs))
@@ -155,6 +171,7 @@ class MicroBatcher:
                 "mean_batch_occupancy": (self.batched_items / self.batches
                                          if self.batches else 0.0),
                 "batch_size": self.batch_size,
+                "bucket_sizes": list(self.buckets),
                 "p50_latency_ms": (1000.0 * lat[len(lat) // 2]) if lat else None,
                 "p95_latency_ms": (1000.0 * lat[int(len(lat) * 0.95)]
                                    if lat else None),
@@ -189,9 +206,16 @@ class InferenceService:
         return np.asarray(img, dtype=np.uint8)
 
     def warmup(self) -> None:
-        """Compile the batch program before accepting traffic."""
-        dummy = np.zeros((self.image_size, self.image_size, 3), np.uint8)
-        self.batcher.submit(dummy).result(timeout=600)
+        """Compile EVERY bucket's program before accepting traffic —
+        otherwise the first group that lands in a fresh bucket pays a
+        20-40 s live compile mid-request. Shapes go straight through
+        ``predict_fn`` (the batcher can't be steered into a specific
+        bucket); the final submit also proves the worker loop end to end."""
+        one = np.zeros((self.image_size, self.image_size, 3), np.uint8)
+        for b in self.batcher.buckets:
+            self.predictor.predict_batch(
+                np.zeros((b,) + one.shape, np.uint8))
+        self.batcher.submit(one).result(timeout=600)
 
     def predict_bytes(self, body: bytes, include_heatmap: bool = False) -> Dict:
         return self.predict_image(self.decode(body),

@@ -28,6 +28,9 @@ REF_DATA = "/root/reference/data/COD10K"
 CKPT = os.path.join(REPO, "artifacts", "fidelity", "best_model.pth")
 REPORT = os.path.join(REPO, "artifacts", "fidelity_report.json")
 CACHE = os.path.join(REPO, "artifacts", "fidelity", "graphs")
+CKPT_352 = os.path.join(REPO, "artifacts", "fidelity", "best_model_352.pth")
+REPORT_352 = os.path.join(REPO, "artifacts", "fidelity_report_352.json")
+CACHE_352 = os.path.join(REPO, "artifacts", "fidelity", "graphs_352")
 
 torch = pytest.importorskip("torch")
 
@@ -100,4 +103,79 @@ def test_composed_mask_fidelity_category_diverse():
         agree = float(((heat_ref > 0.5) == (heat_jax > 0.5)).mean())
         mae = float(np.abs(heat_ref - heat_jax).mean())
         assert agree >= 0.95, f"{base}: agreement {agree:.4f}"
+        assert mae < 0.05, f"{base}: heatmap MAE {mae:.4f}"
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT_352), reason="352 ckpt missing")
+@pytest.mark.skipif(not os.path.exists(REPORT_352),
+                    reason="352 fidelity report missing")
+@pytest.mark.skipif(not os.path.isdir(os.path.join(REF_DATA, "images")),
+                    reason="COD10K mount missing")
+def test_composed_mask_fidelity_352():
+    """The 352² composed pin (VERDICT r4 item 2): the benchmark resolution
+    must stay inside the gate in-suite, not only in the offline artifact.
+
+    Protocol matches scripts/fidelity_gate.py at --size 352: the probe is
+    reference-recipe-trained at 352² on /256-normalized features (the
+    reference hard-codes that normalizer at any size), so the JAX pipeline
+    runs feature_norm=256 bug-compatibly. The assertion sweeps thresholds
+    through the occupied probability range so a degenerate probe can't
+    trivially pass (the r4 failure mode); per-image agreement must clear
+    the gate at every non-trivial threshold."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import jax
+    import jax.numpy as jnp
+    from reference_impl import RefRegionGraphGNN
+    from reference_pipeline import reference_heatmap
+
+    from camouflage_multimodal_tpu.api import load_rg_model
+    from camouflage_multimodal_tpu.data.cod10k import load_image_rgb
+    from camouflage_multimodal_tpu.pipeline import RegionGraphPipeline
+
+    report = json.load(open(REPORT_352))
+    assert report["gate"]["passed"], (
+        "committed 352 fidelity artifact fails its own gate")
+    # one held-out image per category, three distinct categories, cached
+    picked, seen = [], set()
+    for rec in report["per_image"]:
+        cat = rec.get("category", "?")
+        if cat in seen or not os.path.exists(
+                os.path.join(CACHE_352, rec["image"] + ".npz")):
+            continue
+        seen.add(cat)
+        picked.append(rec["image"])
+        if len(picked) >= 3:
+            break
+    assert len(picked) == 3
+
+    tmodel = RefRegionGraphGNN()
+    tmodel.load_state_dict(torch.load(CKPT_352, weights_only=True))
+    tmodel.eval()
+    jmodel, variables = load_rg_model(CKPT_352)
+    pipe = RegionGraphPipeline(jmodel, n_segments=500, image_size=352,
+                               feature_norm=256)
+
+    for base in picked:
+        p = os.path.join(REF_DATA, "images", base + ".jpg")
+        img = load_image_rgb(p, 352)
+        z = np.load(os.path.join(CACHE_352, base + ".npz"))
+        id_map = {int(k): i for i, k in enumerate(z["id_map_keys"])}
+        g = {k: z[k] for k in z.files if k != "id_map_keys"} | {"id_map": id_map}
+        heat_ref = reference_heatmap(tmodel, g, mapping="corrected")
+
+        out = jax.device_get(pipe(
+            variables,
+            jnp.asarray((img[None] * 255.0).round().astype(np.uint8))))
+        heat_jax = out["heatmap"][0]
+
+        nontrivial = 0
+        for t in (0.25, 0.35, 0.5):
+            ref_pos = float((heat_ref > t).mean())
+            if ref_pos < 0.005:
+                continue
+            nontrivial += 1
+            agree = float(((heat_ref > t) == (heat_jax > t)).mean())
+            assert agree >= 0.95, f"{base}@{t}: agreement {agree:.4f}"
+        assert nontrivial >= 1, f"{base}: probe degenerate at every threshold"
+        mae = float(np.abs(heat_ref - heat_jax).mean())
         assert mae < 0.05, f"{base}: heatmap MAE {mae:.4f}"

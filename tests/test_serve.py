@@ -53,8 +53,8 @@ def test_microbatcher_coalesces_and_pads():
         imgs = [np.full((S, S, 3), 40 * i, np.uint8) for i in range(6)]
         futs = [b.submit(im) for im in imgs]
         outs = [f.result(timeout=10) for f in futs]
-        # every program invocation ran at the FIXED padded batch size
-        assert all(n == 4 for n in seen)
+        # every program invocation ran at a FIXED bucket shape (1/2/4)
+        assert all(n in (1, 2, 4) for n in seen), seen
         # 6 requests in <= 3 batches (the first may fire solo before the rest enqueue)
         assert len(seen) <= 3
         # each request got ITS OWN row (brightness is per-image distinct)
@@ -68,6 +68,32 @@ def test_microbatcher_coalesces_and_pads():
         assert st["p50_latency_ms"] is not None
     finally:
         b.close()
+
+
+def test_microbatcher_bucketed_light_load():
+    """A lone request under light load runs the batch-1 bucket (VERDICT r4
+    item 7 — it used to pay the full batch_size program); bucketed=False
+    restores the single-program behavior."""
+    seen = []
+    b = MicroBatcher(StubPredictor(seen).predict_batch, batch_size=8,
+                     max_wait_ms=1.0)
+    try:
+        assert b.buckets == [1, 2, 4, 8]
+        out = b.submit(np.zeros((S, S, 3), np.uint8)).result(timeout=10)
+        assert seen == [1]
+        assert float(out["score"][0]) == 0.0
+        assert b.stats()["bucket_sizes"] == [1, 2, 4, 8]
+    finally:
+        b.close()
+
+    seen2 = []
+    b2 = MicroBatcher(StubPredictor(seen2).predict_batch, batch_size=8,
+                      max_wait_ms=1.0, bucketed=False)
+    try:
+        b2.submit(np.zeros((S, S, 3), np.uint8)).result(timeout=10)
+        assert seen2 == [8]
+    finally:
+        b2.close()
 
 
 def test_microbatcher_propagates_failures():
