@@ -132,12 +132,14 @@ def slic(image: jnp.ndarray, n_segments: int = 500, compactness: float = 10.0,
     the float32-vs-float64 tie noise of the skimage comparison itself.
     ``window_radius=3`` (7×7, bound 2.5·step = 1.4× the worst drift ever
     observed) makes the sweep provably exact on all measured data for
-    +1.4 ms/img raw at 352² (3.4 → 4.8 ms/img, batch 16 on the live TPU);
+    ~+0.9 ms/img at 352²/batch-16 on the live TPU;
     ``backend="pallas"`` is exact at ANY drift but 8× slower (27.2 ms/img
     raw, its per-iteration segment_sum update pays the ~2 ms scatter floor
-    ×9). The production default stays 5×5: exactness
-    is monitored (this telemetry), bounded (the tests), and the composed
-    fidelity gate at the benchmark shapes is the contract that matters.
+    ×9). THE PRODUCTION PIPELINE DEFAULTS TO 7×7 as of round 5
+    (``pipeline.build_region_graphs(window_radius=3)``) with the drift
+    ratio exported as telemetry (``RegionGraphBatch.window_drift``); this
+    function's own default stays 5×5 for compatibility with the committed
+    crossval artifacts' protocol (scripts/slic_node_crossval.py).
     Runtime note: this PJRT runtime (axon) does NOT support host callbacks,
     so the loud check is dispatched host-side here when called eagerly
     (the debug usage) and only falls back to ``jax.debug.callback`` when

@@ -14,6 +14,9 @@ Every timed call ends with a device->host scalar pull (this runtime's
 ``block_until_ready`` can return at enqueue time — see CLAUDE.md).
 """
 import glob
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import importlib
 import time
 
