@@ -161,22 +161,34 @@ def test_pipeline_drift_telemetry_rides_along():
     """The PRODUCTION graph build exports per-image drift telemetry
     (``RegionGraphBatch.window_drift`` / the forward dict's
     ``window_drift``), so a silent all-K divergence is impossible in the
-    production path (VERDICT r4 item 4c): at the 7×7 default the worst
-    measured COD10K image stays provably exact (ratio < 1), while the same
-    image at the 5×5 window exceeds its bound (ratio ≥ 1) — the telemetry
-    must expose exactly that."""
+    production path (VERDICT r4 item 4c). Two parts, kept compile-cheap on
+    the live TPU (a fresh full-pipeline executable costs ~10 min there):
+
+    * plumbing: a tiny build_region_graphs carries a finite per-image
+      drift ratio out of the jitted program;
+    * regime: on the worst measured COD10K image the production 7×7
+      window's ratio is < 1 (provably exact) while the 5×5 window's is
+      ≥ 1 (bound exceeded — and REPORTED), measured through the SLIC-only
+      program (the ratio is a pure SLIC-loop statistic; the pipeline
+      forwards it unchanged)."""
     import jax
     import jax.numpy as jnp
 
+    from camouflage_multimodal_tpu.ops.slic import slic
     from camouflage_multimodal_tpu.pipeline import build_region_graphs
 
+    rng = np.random.default_rng(0)
+    tiny = jnp.asarray((rng.random((1, 48, 48, 3)) * 255).astype(np.uint8))
+    drift = jax.device_get(build_region_graphs(
+        tiny, n_segments=16).window_drift)
+    assert drift.shape == (1,) and np.isfinite(drift).all()
+
     img = _load(WORST_DRIFT)
-    batch_u8 = jnp.asarray((img[None] * 255.0).round().astype(jnp.uint8))
-
-    d3 = float(jax.device_get(build_region_graphs(
-        batch_u8, n_segments=500).window_drift)[0])
-    d2 = float(jax.device_get(build_region_graphs(
-        batch_u8, n_segments=500, window_radius=2).window_drift)[0])
-
+    d3 = float(jax.device_get(slic(img, n_segments=500, window_radius=3,
+                                   enforce_connectivity=False,
+                                   return_drift=True)[1]))
+    d2 = float(jax.device_get(slic(img, n_segments=500, window_radius=2,
+                                   enforce_connectivity=False,
+                                   return_drift=True)[1]))
     assert 0.0 < d3 < 1.0, d3         # production default provably exact
     assert d2 >= 1.0, d2              # 5×5 bound exceeded, and REPORTED
